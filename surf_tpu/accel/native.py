@@ -1,0 +1,116 @@
+"""ctypes bindings for the native C++ BVH builder (native/surf_native.cpp).
+
+The shared library is compiled on first use with g++ (no pip deps; pybind11
+is unavailable in this image so the binding layer is plain ctypes).  Set
+``SURF_NO_NATIVE=1`` to force the NumPy fallback builder.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB: ctypes.CDLL | None = None
+_TRIED = False
+
+_SRC = os.path.join(os.path.dirname(__file__), "..", "native", "surf_native.cpp")
+_SO = os.path.join(os.path.dirname(__file__), "..", "native", "libsurfnative.so")
+
+
+def _compile() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             "-o", _SO, _SRC],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib() -> ctypes.CDLL | None:
+    """Load (building if necessary) the native library, or None."""
+    global _LIB, _TRIED
+    if _LIB is not None:
+        return _LIB
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        if os.environ.get("SURF_NO_NATIVE"):
+            return None
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _compile():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.surf_bvh_build.restype = ctypes.c_uint32
+        lib.surf_bvh_build.argtypes = [f32p, f32p, f32p, ctypes.c_uint32,
+                                       u32p, f32p, f32p, u32p, u32p]
+        lib.surf_bvh_refit.restype = None
+        lib.surf_bvh_refit.argtypes = [f32p, f32p, u32p, f32p, f32p,
+                                       u32p, u32p, ctypes.c_uint32]
+        _LIB = lib
+        return _LIB
+
+
+def _fp(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def _up(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def native_build(prim_lo, prim_hi, key):
+    """Returns (indices, node_lo, node_hi, left_first, count, nodes_used)
+    or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(prim_lo)
+    prim_lo = np.ascontiguousarray(prim_lo, np.float32)
+    prim_hi = np.ascontiguousarray(prim_hi, np.float32)
+    key = np.ascontiguousarray(key, np.float32)
+    indices = np.empty(n, np.uint32)
+    # zeros (not empty): node 1 and the unused pool tail stay deterministic,
+    # matching the reference's memset (bvh.cpp:76) and the NumPy builder.
+    node_lo = np.zeros((2 * n, 3), np.float32)
+    node_hi = np.zeros((2 * n, 3), np.float32)
+    left_first = np.zeros(2 * n, np.uint32)
+    count = np.zeros(2 * n, np.uint32)
+    used = lib.surf_bvh_build(
+        _fp(prim_lo), _fp(prim_hi), _fp(key), n,
+        _up(indices), _fp(node_lo), _fp(node_hi), _up(left_first), _up(count),
+    )
+    return indices, node_lo, node_hi, left_first, count, int(used)
+
+
+def native_refit(prim_lo, prim_hi, indices, node_lo, node_hi, left_first, count,
+                 nodes_used: int) -> bool:
+    """In-place leaf-up refit of node_lo/node_hi. Returns False when the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    prim_lo = np.ascontiguousarray(prim_lo, np.float32)
+    prim_hi = np.ascontiguousarray(prim_hi, np.float32)
+    assert node_lo.flags.c_contiguous and node_hi.flags.c_contiguous
+    lib.surf_bvh_refit(
+        _fp(prim_lo), _fp(prim_hi), _up(indices), _fp(node_lo), _fp(node_hi),
+        _up(left_first), _up(count), nodes_used,
+    )
+    return True

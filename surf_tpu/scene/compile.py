@@ -1,0 +1,230 @@
+"""Scene compiler: host Scene -> device-resident flattened SoA arrays.
+
+The TPU-native analog of the reference's GPUBatcher + GPUScene upload path
+(/root/reference/sources/scene.cpp:61-258): a host pass that flattens meshes,
+BVHs, materials, instances and lights into global arrays, which then live in
+HBM (replicated per chip) for the wavefront kernels.
+
+TPU-first design departure (documented per SURVEY.md §2 BVH rows): instead of
+the reference's two-level TLAS->instance->BLAS traversal with per-instance
+ray transforms (bvh.cpp:481-513), instances are *pre-transformed to world
+space* at compile time and a single flattened BVH is built over all world
+triangles.  Lockstep traversal then needs no nested stacks or per-lane matrix
+loads — far better for the VPU — while animation still only re-transforms the
+moved instance's triangle slice and refits (see ``CompiledScene.update``).
+The two-level structures remain available (accel.build_blas / build_tlas) and
+are exercised by the test suite for the reference-shaped API.
+
+Gradient plumbing: ``RenderScene`` carries the differentiable leaves
+(material table, sampling-geometry arrays); the traversal arrays are derived
+and treated as detached — kernels re-intersect the *chosen* primitive
+differentiably (see wavefront/integrator.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..accel import builder
+from ..accel.traverse import TraceArrays, bvh_max_depth, pack_bvh
+from .material import build_material_table
+from .scene import Scene
+
+
+class RenderScene(NamedTuple):
+    """Device pytree consumed by the wavefront kernels. All jnp arrays."""
+
+    # traversal set (leaf-ordered, detached)
+    trace: TraceArrays
+    tri_inst: jnp.ndarray      # [T] int32, leaf-ordered instance id
+    tri_n0: jnp.ndarray        # [T,3] leaf-ordered world normals (M @ n, unnormalized)
+    tri_n1: jnp.ndarray
+    tri_n2: jnp.ndarray
+    tri_uv0: jnp.ndarray       # [T,2] leaf-ordered UVs (fetched, unused — parity)
+    tri_uv1: jnp.ndarray
+    tri_uv2: jnp.ndarray
+    perm: jnp.ndarray          # [T] int32: leaf slot -> original (sampling) id
+    # sampling set (original instance-contiguous order, differentiable)
+    samp_v0: jnp.ndarray       # [T,3]
+    samp_v1: jnp.ndarray
+    samp_v2: jnp.ndarray
+    samp_n0: jnp.ndarray
+    samp_n1: jnp.ndarray
+    samp_n2: jnp.ndarray
+    # instances
+    inst_tri_offset: jnp.ndarray  # [I] int32 into samp arrays
+    inst_tri_count: jnp.ndarray   # [I] int32
+    inst_area: jnp.ndarray        # [I] float32 (transformed surface area)
+    inst_material: jnp.ndarray    # [I] int32
+    # materials (primary gradient targets)
+    mat_albedo: jnp.ndarray           # [M,3]
+    mat_emission_color: jnp.ndarray   # [M,3]
+    mat_absorption: jnp.ndarray       # [M,3]
+    mat_emission_strength: jnp.ndarray  # [M]
+    mat_reflectivity: jnp.ndarray     # [M]
+    mat_refractivity: jnp.ndarray     # [M]
+    mat_ior: jnp.ndarray              # [M]
+    mat_is_light: jnp.ndarray         # [M] bool
+    # lights
+    light_inst: jnp.ndarray    # [L] int32 instance ids (L >= 1; padded if 0)
+    # background
+    bg_type: jnp.ndarray       # scalar int32 (0 solid / 1 gradient)
+    bg_color: jnp.ndarray      # [3]
+    bg_gradient_a: jnp.ndarray # [3]
+    bg_gradient_b: jnp.ndarray # [3]
+
+
+class SceneStatic(NamedTuple):
+    """Hashable static companion passed as a jit-static argument."""
+
+    stack_depth: int
+    num_lights: int
+    tri_count: int
+
+
+def _dedupe_materials(scene: Scene):
+    mats, ids = [], {}
+    for inst in scene.instances:
+        if id(inst.material) not in ids:
+            ids[id(inst.material)] = len(mats)
+            mats.append(inst.material)
+    inst_material = np.array([ids[id(i.material)] for i in scene.instances], np.int32)
+    return mats, inst_material
+
+
+def compile_scene(scene: Scene) -> tuple[RenderScene, SceneStatic]:
+    host = HostCompiled(scene)
+    return host.render_scene, host.static
+
+
+class HostCompiled:
+    """Keeps the host-side arrays so animation updates can be incremental
+    (only the moved instance's triangle slice is re-transformed and the BVH
+    refit — the analog of GPUScene::update's instance+TLAS re-upload,
+    scene.cpp:267-282)."""
+
+    def __init__(self, scene: Scene):
+        self.scene = scene
+        mats, inst_material = _dedupe_materials(scene)
+        self.materials = build_material_table(mats)
+        self.inst_material = inst_material
+
+        v0s, v1s, v2s, n0s, n1s, n2s = [], [], [], [], [], []
+        uv0s, uv1s, uv2s = [], [], []
+        offsets, counts = [], []
+        off = 0
+        for inst in scene.instances:
+            w = inst.world_triangles()
+            v0s.append(w[0]); v1s.append(w[1]); v2s.append(w[2])
+            n0s.append(w[3]); n1s.append(w[4]); n2s.append(w[5])
+            uv0s.append(inst.mesh.uv0); uv1s.append(inst.mesh.uv1); uv2s.append(inst.mesh.uv2)
+            offsets.append(off)
+            counts.append(inst.mesh.tri_count)
+            off += inst.mesh.tri_count
+        self.samp_v0 = np.concatenate(v0s); self.samp_v1 = np.concatenate(v1s)
+        self.samp_v2 = np.concatenate(v2s)
+        self.samp_n0 = np.concatenate(n0s); self.samp_n1 = np.concatenate(n1s)
+        self.samp_n2 = np.concatenate(n2s)
+        self.uv0 = np.concatenate(uv0s); self.uv1 = np.concatenate(uv1s)
+        self.uv2 = np.concatenate(uv2s)
+        self.inst_tri_offset = np.asarray(offsets, np.int32)
+        self.inst_tri_count = np.asarray(counts, np.int32)
+        self.tri_inst = np.repeat(
+            np.arange(len(scene.instances), dtype=np.int32), self.inst_tri_count
+        )
+        self._rebuild_bvh()
+        self._seen_version = scene.version
+
+    def _rebuild_bvh(self):
+        self.bvh = builder.build_blas(self.samp_v0, self.samp_v1, self.samp_v2)
+        self._refresh_device()
+
+    def _refit_bvh(self):
+        lo, hi = builder.triangle_bounds(self.samp_v0, self.samp_v1, self.samp_v2)
+        self.bvh = builder.refit(self.bvh, lo, hi)
+        self._refresh_device()
+
+    def _refresh_device(self):
+        perm = self.bvh.indices.astype(np.int64)
+        boxes, meta = pack_bvh(self.bvh)
+        scene = self.scene
+        bg = scene.background
+        light_inst = np.asarray(scene.light_indices, np.int32)
+        if len(light_inst) == 0:
+            light_inst = np.zeros(1, np.int32)  # padded; gated by num_lights
+
+        j = jnp.asarray
+        self.render_scene = RenderScene(
+            trace=TraceArrays(
+                tri_v0=j(self.samp_v0[perm]),
+                tri_v1=j(self.samp_v1[perm]),
+                tri_v2=j(self.samp_v2[perm]),
+                pair_boxes=j(boxes),
+                pair_meta=j(meta),
+            ),
+            tri_inst=j(self.tri_inst[perm]),
+            tri_n0=j(self.samp_n0[perm]),
+            tri_n1=j(self.samp_n1[perm]),
+            tri_n2=j(self.samp_n2[perm]),
+            tri_uv0=j(self.uv0[perm]),
+            tri_uv1=j(self.uv1[perm]),
+            tri_uv2=j(self.uv2[perm]),
+            perm=j(perm.astype(np.int32)),
+            samp_v0=j(self.samp_v0),
+            samp_v1=j(self.samp_v1),
+            samp_v2=j(self.samp_v2),
+            samp_n0=j(self.samp_n0),
+            samp_n1=j(self.samp_n1),
+            samp_n2=j(self.samp_n2),
+            inst_tri_offset=j(self.inst_tri_offset),
+            inst_tri_count=j(self.inst_tri_count),
+            inst_area=j(
+                np.array([i.area for i in self.scene.instances], np.float32)
+            ),
+            inst_material=j(self.inst_material),
+            mat_albedo=j(self.materials.albedo),
+            mat_emission_color=j(self.materials.emission_color),
+            mat_absorption=j(self.materials.absorption),
+            mat_emission_strength=j(self.materials.emission_strength),
+            mat_reflectivity=j(self.materials.reflectivity),
+            mat_refractivity=j(self.materials.refractivity),
+            mat_ior=j(self.materials.ior),
+            mat_is_light=j(self.materials.is_light),
+            light_inst=j(light_inst),
+            bg_type=jnp.int32(bg.type),
+            bg_color=j(bg.color),
+            bg_gradient_a=j(bg.gradient_a),
+            bg_gradient_b=j(bg.gradient_b),
+        )
+        self.static = SceneStatic(
+            stack_depth=bvh_max_depth(self.bvh) + 2,
+            num_lights=len(self.scene.light_indices),
+            tri_count=int(len(self.samp_v0)),
+        )
+
+    def update(self, delta_time: float, rebuild: bool = False):
+        """Advance the scene animation and refresh device arrays.
+
+        ``rebuild=True`` forces a full SAH rebuild (BASELINE config 4);
+        otherwise the BVH is refit in place."""
+        self.scene.update(delta_time)
+        self.refresh(rebuild=rebuild)
+
+    def refresh(self, rebuild: bool = False):
+        """Re-transform triangle slices for instances whose transform changed
+        since the last refresh, then refit/rebuild."""
+        for i, inst in enumerate(self.scene.instances):
+            o = self.inst_tri_offset[i]
+            c = self.inst_tri_count[i]
+            w = inst.world_triangles()
+            self.samp_v0[o:o + c] = w[0]; self.samp_v1[o:o + c] = w[1]
+            self.samp_v2[o:o + c] = w[2]
+            self.samp_n0[o:o + c] = w[3]; self.samp_n1[o:o + c] = w[4]
+            self.samp_n2[o:o + c] = w[5]
+        if rebuild:
+            self._rebuild_bvh()
+        else:
+            self._refit_bvh()

@@ -1,0 +1,445 @@
+"""The TPU wavefront path-tracing integrator.
+
+TPU-native redesign of the reference's five-kernel wavefront pipeline
+(/root/reference/shaders/ray_generation.comp, ray_extend.comp, ray_shade.comp,
+ray_connect.comp, wavefront_finalize.comp and the host wave loop
+renderer.cpp:939-1157).  Design deltas, per SURVEY.md §2/§7:
+
+- The reference's atomic work queues + CPU-orchestrated wave loop (a fence
+  round-trip per wave) become ONE jitted bounce loop entirely on device:
+  dense SoA lane state, masked stages, ``lax.while_loop`` until every path
+  has terminated (or ``lax.fori_loop`` with a static bounce cap for the
+  differentiable estimator, since reverse-mode AD cannot cross while_loop).
+- Queues are dense: every pixel owns exactly one path per sample, so
+  ray_generation needs no atomics; dead lanes are masked, not compacted
+  (compaction via sort is a planned optimization, SURVEY.md §7.3.2).
+- The per-stage RNG consumption order replicates the *CPU* renderer
+  (renderer.cpp:331-463) exactly — per-pixel sequential streams — which is
+  the parity target (SURVEY.md §7.3.5): lanes advance their seed only when
+  the sequential code would.
+- Traversal is detached (hit ids only); the chosen triangle is re-intersected
+  differentiably so pixel gradients flow to camera pose, vertices and
+  materials without differentiating through the traversal loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..accel.traverse import traverse
+from ..core import rng, sampling
+from ..core.vecmath import (
+    F32_EPSILON,
+    F32_FAR_AWAY,
+    F32_INV_PI,
+    dot,
+    normalize,
+    reflect,
+)
+from ..scene.camera import CameraParams, ViewPlane, view_plane_jnp
+from ..scene.compile import RenderScene, SceneStatic
+
+
+class RenderConfig(NamedTuple):
+    """Static (hashable) render configuration — jit-static argument."""
+
+    width: int
+    height: int
+    spp: int
+    use_defocus: bool
+    stack_depth: int
+    num_lights: int
+    max_bounces: int | None = None  # None -> unbounded while_loop (forward only)
+    wave_limit: int = 8192          # safety cap for the unbounded loop
+
+    @classmethod
+    def for_scene(
+        cls, static: SceneStatic, width: int, height: int, spp: int,
+        use_defocus: bool, max_bounces: int | None = None,
+    ) -> "RenderConfig":
+        return cls(
+            width=width, height=height, spp=spp, use_defocus=use_defocus,
+            stack_depth=static.stack_depth, num_lights=static.num_lights,
+            max_bounces=max_bounces,
+        )
+
+
+class PathState(NamedTuple):
+    """Dense SoA lane state — the TPU analog of the reference's GPURay AoS
+    buffers (headers/ray.h:22-31), split per field (SURVEY.md §2 Ray types)."""
+
+    origin: jnp.ndarray        # [N,3]
+    direction: jnp.ndarray     # [N,3]
+    seed: jnp.ndarray          # [N] uint32
+    transmission: jnp.ndarray  # [N,3]
+    energy: jnp.ndarray        # [N,3]
+    last_specular: jnp.ndarray # [N] bool
+    in_medium: jnp.ndarray     # [N] bool
+    alive: jnp.ndarray         # [N] bool
+
+
+# --------------------------------------------------------------------------
+# Stage 1: ray generation (ray_generation.comp:30-80, camera.h:59-87)
+# --------------------------------------------------------------------------
+
+def ray_generation(
+    cfg: RenderConfig, vp: ViewPlane, seed: jnp.ndarray,
+    px: jnp.ndarray, py: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """AA-jittered thin-lens primary rays; one per lane (dense queue)."""
+    ones = jnp.ones_like(seed, dtype=bool)
+    seed, jx = rng.next_f32(seed)
+    seed, jy = rng.next_f32(seed)
+    fx = px.astype(jnp.float32) + (jx - jnp.float32(0.5))
+    fy = py.astype(jnp.float32) + (jy - jnp.float32(0.5))
+    u = fx * jnp.float32(1.0 / cfg.width)
+    v = fy * jnp.float32(1.0 / cfg.height)
+
+    if cfg.use_defocus:
+        radius = vp.focal_length * jnp.tan(
+            _radians(vp.defocus_angle / jnp.float32(2.0))
+        )
+        du = vp.right * radius
+        dv = jnp.float32(-1.0) * vp.up * radius
+        seed, su, sv = sampling.unit_disk(seed, ones)
+        origin = vp.position + su[:, None] * du + sv[:, None] * dv
+    else:
+        origin = jnp.broadcast_to(vp.position, (seed.shape[0], 3))
+
+    plane = vp.first_pixel + u[:, None] * vp.u_vector + v[:, None] * vp.v_vector
+    direction = normalize(plane - origin)
+    return seed, origin, direction
+
+
+def _radians(deg):
+    return (deg * jnp.float32(3.14159265358979323846264)) * jnp.float32(
+        0.005555555555555
+    )
+
+
+# --------------------------------------------------------------------------
+# Stage 2-4: extend / shade / connect fused into one masked bounce step
+# --------------------------------------------------------------------------
+
+def _sample_background(scene: RenderScene, direction):
+    """Scene::sampleBackground (scene.cpp:35-51)."""
+    alpha = jnp.float32(0.5) * (jnp.float32(1.0) + direction[:, 1])
+    grad = (
+        alpha[:, None] * scene.bg_gradient_b
+        + (jnp.float32(1.0) - alpha)[:, None] * scene.bg_gradient_a
+    )
+    solid = jnp.broadcast_to(scene.bg_color, direction.shape)
+    return jnp.where(scene.bg_type == 1, grad, solid)
+
+
+def _emittance(scene: RenderScene, mat):
+    return scene.mat_emission_strength[mat, None] * scene.mat_emission_color[mat]
+
+
+def bounce_step(scene: RenderScene, cfg: RenderConfig, s: PathState) -> PathState:
+    """One wave: extend (closest hit) -> shade (lobes, NEE) -> connect
+    (occlusion) -> bounce-ray update, all masked over dense lanes."""
+    n = s.origin.shape[0]
+    sg = jax.lax.stop_gradient
+
+    # ---- EXTEND (ray_extend.comp / bvh.cpp traversal), detached ----------
+    hit = traverse(
+        scene.trace,
+        sg(s.origin), sg(s.direction),
+        jnp.full(n, F32_FAR_AWAY, jnp.float32),
+        s.alive, cfg.stack_depth,
+    )
+    prim = hit.prim
+    found = prim >= 0
+    slot = jnp.maximum(prim, 0)
+    g = jnp.take(scene.perm, slot)  # original-order triangle id
+
+    # Differentiable re-intersection of the chosen triangle (camera/vertex
+    # gradients flow here; the traversal only chose *which* triangle).
+    v0 = jnp.take(scene.samp_v0, g, axis=0)
+    v1 = jnp.take(scene.samp_v1, g, axis=0)
+    v2 = jnp.take(scene.samp_v2, g, axis=0)
+    t, u, v = _reintersect(s.origin, s.direction, v0, v1, v2)
+
+    miss = s.alive & ~found
+    energy = jnp.where(
+        miss[:, None],
+        s.energy + s.transmission * _sample_background(scene, s.direction),
+        s.energy,
+    )
+    alive = s.alive & found
+
+    inst = jnp.take(scene.tri_inst, slot)
+    mat = jnp.take(scene.inst_material, inst)
+
+    # ---- light hit termination (ray_shade.comp:64-69, renderer.cpp:348-352)
+    hit_light = alive & jnp.take(scene.mat_is_light, mat)
+    lit = hit_light & s.last_specular
+    energy = jnp.where(
+        lit[:, None], energy + s.transmission * _emittance(scene, mat), energy
+    )
+    alive = alive & ~hit_light
+
+    # ---- SHADE (ray_shade.comp:71-189, renderer.cpp:354-459) -------------
+    medium_scale = jnp.where(
+        s.in_medium[:, None],
+        jnp.exp(jnp.take(scene.mat_absorption, mat, axis=0) * -t[:, None]),
+        jnp.float32(1.0),
+    )
+    I = s.origin + t[:, None] * s.direction
+    N = (
+        u[:, None] * jnp.take(scene.samp_n0, g, axis=0)
+        + v[:, None] * jnp.take(scene.samp_n2, g, axis=0)
+        + (jnp.float32(1.0) - u - v)[:, None] * jnp.take(scene.samp_n1, g, axis=0)
+    )
+    N = normalize(N)
+
+    seed, r_lobe = rng.next_f32_masked(s.seed, alive)
+    N = jnp.where(dot(s.direction, N)[:, None] > 0, -N, N)
+
+    refl = jnp.take(scene.mat_reflectivity, mat)
+    refr = jnp.take(scene.mat_refractivity, mat)
+    albedo = jnp.take(scene.mat_albedo, mat, axis=0)
+    m_spec = alive & (r_lobe < refl)
+    m_diel = alive & ~m_spec & (r_lobe < refl + refr)
+    m_diff = alive & ~m_spec & ~m_diel
+
+    refl_dir = reflect(s.direction, N)
+    r_out = jnp.zeros_like(s.direction)
+    new_trans = s.transmission
+    new_last_spec = s.last_specular
+    new_in_medium = s.in_medium
+
+    # specular mirror
+    r_out = jnp.where(m_spec[:, None], refl_dir, r_out)
+    spec_trans = s.transmission * albedo * medium_scale
+    new_trans = jnp.where(m_spec[:, None], spec_trans, new_trans)
+    new_last_spec = jnp.where(m_spec, True, new_last_spec)
+
+    # dielectric with Schlick Fresnel (renderer.cpp:376-406)
+    ior = jnp.take(scene.mat_ior, mat)
+    n1 = jnp.where(s.in_medium, ior, jnp.float32(1.0))
+    n2 = jnp.where(s.in_medium, jnp.float32(1.0), ior)
+    ior_ratio = n1 / n2
+    cos_i = -dot(s.direction, N)
+    cos_theta2 = jnp.float32(1.0) - ior_ratio * ior_ratio * (
+        jnp.float32(1.0) - cos_i * cos_i
+    )
+    can_refract = cos_theta2 > 0
+    a_ = n1 - n2
+    b_ = n1 + n2
+    r0 = (a_ * a_) / (b_ * b_)
+    c_ = jnp.float32(1.0) - cos_i
+    fresnel = r0 + (jnp.float32(1.0) - r0) * (c_ * c_ * c_ * c_ * c_)
+    seed, r_fr = rng.next_f32_masked(seed, m_diel & can_refract)
+    must_refract = m_diel & can_refract & (r_fr > sg(fresnel))
+    refract_dir = (
+        ior_ratio[:, None] * s.direction
+        + (ior_ratio * cos_i - jnp.sqrt(jnp.abs(cos_theta2)))[:, None] * N
+    )
+    r_out = jnp.where(
+        m_diel[:, None],
+        jnp.where(must_refract[:, None], refract_dir, refl_dir),
+        r_out,
+    )
+    new_trans = jnp.where(m_diel[:, None], spec_trans, new_trans)
+    new_last_spec = jnp.where(m_diel, True, new_last_spec)
+    new_in_medium = jnp.where(must_refract, ~s.in_medium, new_in_medium)
+
+    # diffuse: cosine bounce + NEE + RR
+    seed, cos_dir = sampling.cosine_hemisphere(seed, N, m_diff)
+    r_out = jnp.where(m_diff[:, None], cos_dir, r_out)
+    cos_theta = dot(N, cos_dir)
+    brdf = albedo * F32_INV_PI
+
+    if cfg.num_lights > 0:
+        seed, energy = _next_event(
+            scene, cfg, seed, m_diff, I, N, brdf, s.transmission, energy
+        )
+
+    # Russian roulette (renderer.cpp:446-454); termination detached.
+    p = jnp.clip(jnp.max(s.transmission, axis=1), 0.0, 1.0)
+    seed, r_rr = rng.next_f32_masked(seed, m_diff)
+    rr_kill = m_diff & (sg(p) < r_rr)
+    alive = alive & ~rr_kill
+    m_diff_live = m_diff & ~rr_kill
+    diffuse_pdf = cos_theta * F32_INV_PI
+    inv_pdf = jnp.float32(1.0) / diffuse_pdf
+    rr_scale = jnp.float32(1.0) / sg(p)
+    diff_trans = (
+        s.transmission
+        * cos_theta[:, None] * inv_pdf[:, None] * brdf
+        * medium_scale * rr_scale[:, None]
+    )
+    new_trans = jnp.where(m_diff_live[:, None], diff_trans, new_trans)
+    new_last_spec = jnp.where(m_diff_live, False, new_last_spec)
+
+    origin = jnp.where(alive[:, None], I + F32_EPSILON * r_out, s.origin)
+    direction = jnp.where(alive[:, None], r_out, s.direction)
+
+    return PathState(
+        origin=origin,
+        direction=direction,
+        seed=seed,
+        transmission=jnp.where(alive[:, None], new_trans, s.transmission),
+        energy=energy,
+        last_specular=jnp.where(alive, new_last_spec, s.last_specular),
+        in_medium=jnp.where(alive, new_in_medium, s.in_medium),
+        alive=alive,
+    )
+
+
+def _reintersect(origin, direction, v0, v1, v2):
+    """Differentiable Möller–Trumbore at a fixed triangle (no tests)."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    h = _cross(direction, e2)
+    a = dot(e1, h)
+    f = jnp.float32(1.0) / a
+    srel = origin - v0
+    u = f * dot(srel, h)
+    q = _cross(srel, e1)
+    v = f * dot(direction, q)
+    t = f * dot(e2, q)
+    return t, u, v
+
+
+def _cross(a, b):
+    return jnp.stack(
+        [
+            a[..., 1] * b[..., 2] - a[..., 2] * b[..., 1],
+            a[..., 2] * b[..., 0] - a[..., 0] * b[..., 2],
+            a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0],
+        ],
+        axis=-1,
+    )
+
+
+def _next_event(scene, cfg, seed, m_diff, I, N, brdf, transmission, energy):
+    """NEE: sample one light instance + surface point, build shadow rays,
+    resolve occlusion (ray_shade.comp:125-174 + ray_connect.comp:178-212).
+
+    RNG draw order per diffuse lane: light pick, u, v, triangle id — matching
+    Scene::sampleLights + Instance::samplePoint (scene.h:53, bvh.cpp:533-552).
+    """
+    sg = jax.lax.stop_gradient
+    seed, li_raw = rng.next_u32_masked(seed, m_diff)
+    li = (li_raw % jnp.uint32(cfg.num_lights)).astype(jnp.int32)
+    light_inst = jnp.take(scene.light_inst, li)
+    seed, su = rng.next_f32_masked(seed, m_diff)
+    seed, sv_raw = rng.next_f32_masked(seed, m_diff)
+    sv = sv_raw * (jnp.float32(1.0) - su)
+    seed, ti_raw = rng.next_u32_masked(seed, m_diff)
+    tri_local = (
+        ti_raw % jnp.take(scene.inst_tri_count, light_inst).astype(jnp.uint32)
+    ).astype(jnp.int32)
+    tri_idx = jnp.take(scene.inst_tri_offset, light_inst) + tri_local
+
+    w = jnp.float32(1.0) - su - sv
+    p_pos = (
+        su[:, None] * jnp.take(scene.samp_v0, tri_idx, axis=0)
+        + sv[:, None] * jnp.take(scene.samp_v2, tri_idx, axis=0)
+        + w[:, None] * jnp.take(scene.samp_v1, tri_idx, axis=0)
+    )
+    p_nrm = normalize(
+        su[:, None] * jnp.take(scene.samp_n0, tri_idx, axis=0)
+        + sv[:, None] * jnp.take(scene.samp_n2, tri_idx, axis=0)
+        + w[:, None] * jnp.take(scene.samp_n1, tri_idx, axis=0)
+    )
+    IL = p_pos - I
+    L = normalize(IL)
+    SO = I + F32_EPSILON * L
+    sr_depth = jnp.sqrt(dot(IL, IL)) - jnp.float32(2.0) * F32_EPSILON
+    falloff = jnp.float32(1.0) / dot(IL, IL)
+    cos_o = dot(N, L)
+    cos_li = dot(p_nrm, -L)
+    nee_ok = m_diff & (cos_o > 0) & (cos_li > 0)
+
+    # CONNECT: any-hit occlusion traversal, detached.
+    occ_hit = traverse(
+        scene.trace, sg(SO), sg(L), sg(sr_depth), nee_ok, cfg.stack_depth,
+        any_hit=True,
+    )
+    unoccluded = nee_ok & (occ_hit.prim < 0)
+
+    area = jnp.take(scene.inst_area, light_inst)
+    SA = cos_li * area * falloff
+    lmat = jnp.take(scene.inst_material, light_inst)
+    l_emit = _emittance(scene, lmat)
+    Ld = l_emit * SA[:, None] * brdf * cos_o[:, None] * jnp.float32(cfg.num_lights)
+    energy = jnp.where(unoccluded[:, None], energy + transmission * Ld, energy)
+    return seed, energy
+
+
+# --------------------------------------------------------------------------
+# Sample / frame loops (replaces the host wave loop renderer.cpp:1030-1106)
+# --------------------------------------------------------------------------
+
+def render_sample(scene: RenderScene, cfg: RenderConfig, vp: ViewPlane,
+                  seed, px, py):
+    """One sample for every pixel lane: raygen + full bounce loop on device."""
+    seed, origin, direction = ray_generation(cfg, vp, seed, px, py)
+    n = seed.shape[0]
+    state = PathState(
+        origin=origin,
+        direction=direction,
+        seed=seed,
+        transmission=jnp.ones((n, 3), jnp.float32),
+        energy=jnp.zeros((n, 3), jnp.float32),
+        last_specular=jnp.ones(n, bool),
+        in_medium=jnp.zeros(n, bool),
+        alive=jnp.ones(n, bool),
+    )
+
+    if cfg.max_bounces is None:
+        def cond(carry):
+            i, s = carry
+            return jnp.any(s.alive) & (i < cfg.wave_limit)
+
+        def body(carry):
+            i, s = carry
+            return i + 1, bounce_step(scene, cfg, s)
+
+        _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
+    else:
+        def body(_, s):
+            return bounce_step(scene, cfg, s)
+
+        state = jax.lax.fori_loop(0, cfg.max_bounces, body, state)
+        # Paths still alive at the cap contribute nothing further — matches
+        # an RR kill without compensation (bias ~0 for caps >= ~32).
+
+    return state.seed, state.energy
+
+
+def render_frame(scene: RenderScene, cfg: RenderConfig, cam: CameraParams,
+                 total_samples: jnp.ndarray):
+    """One frame of cfg.spp samples per pixel. Returns radiance sums
+    [H, W, 3] (divide by the accumulated sample count outside — the
+    wavefront_finalize analog)."""
+    vp = view_plane_jnp(cam, cfg.width, cfg.height)
+    n = cfg.width * cfg.height
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    px = (lane % jnp.uint32(cfg.width)).astype(jnp.int32)
+    py = (lane // jnp.uint32(cfg.width)).astype(jnp.int32)
+    seed0 = rng.pixel_seed(lane, total_samples)
+
+    def body(_, carry):
+        seed, acc = carry
+        seed, energy = render_sample(scene, cfg, vp, seed, px, py)
+        return seed, acc + energy
+
+    _, acc = jax.lax.fori_loop(
+        0, cfg.spp, body, (seed0, jnp.zeros((n, 3), jnp.float32))
+    )
+    return acc.reshape(cfg.height, cfg.width, 3)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def render_frame_jit(scene: RenderScene, cfg: RenderConfig, cam: CameraParams,
+                     total_samples: jnp.ndarray):
+    return render_frame(scene, cfg, cam, total_samples)

@@ -1,0 +1,112 @@
+"""End-to-end image parity: scalar golden vs vectorized oracle vs TPU
+wavefront path (SURVEY.md §4 dual-implementation-as-oracle strategy,
+BASELINE configs 1-2 at reduced resolution)."""
+
+import warnings
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from surf_tpu.reference.cpu_renderer import OracleRenderer
+from surf_tpu.reference.scalar import ScalarRenderer
+from surf_tpu.scene import builtin
+from surf_tpu.scene.camera import CameraParams
+from surf_tpu.scene.compile import HostCompiled
+from surf_tpu.wavefront import RenderConfig, render_frame_jit
+
+warnings.filterwarnings("ignore", category=RuntimeWarning)
+
+
+@pytest.fixture(scope="module")
+def box():
+    scene = builtin.make_diffuse_box_scene()
+    return HostCompiled(scene)
+
+
+@pytest.fixture(scope="module")
+def indoor():
+    scene = builtin.make_indoor_scene()
+    return HostCompiled(scene)
+
+
+def test_scalar_vs_vectorized_oracle_bitlevel(box):
+    """The vectorized oracle must replicate the sequential per-pixel RNG
+    streams of the literal C++ transcription to float ulps."""
+    cam = builtin.make_indoor_camera(8, 8)
+    img_s = ScalarRenderer(box, cam).render(8, 8, 2)
+    img_v = OracleRenderer(box, cam).render(8, 8, 2)
+    assert np.abs(img_s - img_v).max() < 1e-5
+
+
+def test_wavefront_matches_oracle_box(box):
+    """Config-1-shaped gate: diffuse box scene, fixed seed, thin-lens camera;
+    the jitted wavefront renderer must match the NumPy oracle closely
+    (identical RNG streams; only libm/FMA ulp noise allowed)."""
+    W = H = 32
+    spp = 2
+    cam = builtin.make_indoor_camera(W, H)
+    img_o = OracleRenderer(box, cam).render(W, H, spp)
+    cfg = RenderConfig.for_scene(box.static, W, H, spp, use_defocus=True)
+    img_j = np.asarray(
+        render_frame_jit(box.render_scene, cfg, CameraParams.from_camera(cam),
+                         jnp.uint32(0))
+    )
+    diff = np.abs(img_o - img_j).max(axis=2)
+    assert (diff > 1e-3).mean() < 0.01, diff.max()
+    assert abs(img_o.sum() - img_j.sum()) / abs(img_o.sum()) < 0.01
+
+
+def test_wavefront_matches_oracle_indoor(indoor):
+    """Config-2-shaped: full indoor scene (dielectric, specular, NEE, RR).
+    Deep-path float chaos diverges a few pixels; the acceptance criterion is
+    the one the reference itself uses across its CPU/GPU pair: overwhelming
+    per-pixel agreement + energy ('Lumen') agreement."""
+    W = H = 24
+    spp = 2
+    cam = builtin.make_indoor_camera(W, H)
+    img_o = OracleRenderer(indoor, cam).render(W, H, spp)
+    cfg = RenderConfig.for_scene(indoor.static, W, H, spp, use_defocus=True)
+    img_j = np.asarray(
+        render_frame_jit(indoor.render_scene, cfg, CameraParams.from_camera(cam),
+                         jnp.uint32(0))
+    )
+    diff = np.abs(img_o - img_j).max(axis=2)
+    assert (diff > 1e-3).mean() < 0.10
+    assert abs(img_o.sum() - img_j.sum()) / abs(img_o.sum()) < 0.05
+
+
+def test_determinism_same_seed(box):
+    """Same seed => identical image bits across runs (SURVEY.md §5.2)."""
+    W = H = 16
+    cam = builtin.make_indoor_camera(W, H)
+    cfg = RenderConfig.for_scene(box.static, W, H, 2, use_defocus=True)
+    cp = CameraParams.from_camera(cam)
+    a = np.asarray(render_frame_jit(box.render_scene, cfg, cp, jnp.uint32(0)))
+    b = np.asarray(render_frame_jit(box.render_scene, cfg, cp, jnp.uint32(0)))
+    assert np.array_equal(a, b)
+
+
+def test_progressive_accumulation_stream(box):
+    """totalSamples advances the per-pixel seed stream (renderer.cpp:169):
+    frames at different totalSamples must differ."""
+    W = H = 16
+    cam = builtin.make_indoor_camera(W, H)
+    cfg = RenderConfig.for_scene(box.static, W, H, 1, use_defocus=True)
+    cp = CameraParams.from_camera(cam)
+    a = np.asarray(render_frame_jit(box.render_scene, cfg, cp, jnp.uint32(0)))
+    b = np.asarray(render_frame_jit(box.render_scene, cfg, cp, jnp.uint32(1)))
+    assert not np.array_equal(a, b)
+
+
+def test_bounded_matches_unbounded_within_noise(box):
+    """A bounce cap of 48 is statistically indistinguishable from the
+    unbounded while_loop (RR kills survivors long before)."""
+    W = H = 16
+    cam = builtin.make_indoor_camera(W, H)
+    cp = CameraParams.from_camera(cam)
+    cfg_u = RenderConfig.for_scene(box.static, W, H, 2, use_defocus=True)
+    cfg_b = cfg_u._replace(max_bounces=48)
+    a = np.asarray(render_frame_jit(box.render_scene, cfg_u, cp, jnp.uint32(0)))
+    b = np.asarray(render_frame_jit(box.render_scene, cfg_b, cp, jnp.uint32(0)))
+    assert np.abs(a - b).max() < 1e-4
