@@ -1,0 +1,161 @@
+"""CLI driver — the headless analog of the reference's main loop
+(/root/reference/sources/main.cpp:381-446): progressive frames with optional
+animation, per-frame metrics, accumulator checkpoint/resume, image output.
+
+    python -m surf_tpu.app.cli --scene indoor --width 512 --height 512 \
+        --spp 4 --frames 4 --output out.png --metrics-jsonl metrics.jsonl
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from .config import AppConfig
+from .image_io import save_image
+from .metrics import MetricsLog
+
+
+def build_scene(cfg: AppConfig):
+    from ..scene import builtin
+    from ..scene.compile import HostCompiled
+
+    if cfg.scene == "indoor":
+        scene = builtin.make_indoor_scene()
+    elif cfg.scene == "box":
+        scene = builtin.make_diffuse_box_scene()
+    else:
+        raise ValueError(f"unknown scene: {cfg.scene}")
+    return HostCompiled(scene)
+
+
+def run(cfg: AppConfig) -> dict:
+    if cfg.backend == "cpu":
+        from ..utils import force_cpu
+
+        force_cpu()
+    elif cfg.backend == "cpu8":
+        from ..utils import force_cpu
+
+        force_cpu(8)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..scene.builtin import make_indoor_camera
+    from ..scene.camera import CameraParams
+    from ..wavefront.accumulator import Accumulator
+    from ..wavefront.integrator import RenderConfig, render_frame_jit
+
+    host = build_scene(cfg)
+    cam = make_indoor_camera(cfg.width, cfg.height)
+    if cfg.focal_length is not None:
+        cam.focal_length = cfg.focal_length
+    if cfg.defocus_angle is not None:
+        cam.defocus_angle = cfg.defocus_angle
+    cam_params = CameraParams.from_camera(cam)
+
+    rcfg = RenderConfig.for_scene(
+        host.static, cfg.width, cfg.height, cfg.spp,
+        use_defocus=cam.defocus_angle != 0.0,
+        max_bounces=cfg.max_bounces,
+    )
+
+    if cfg.resume and cfg.checkpoint:
+        acc = Accumulator.load(cfg.checkpoint)
+        assert acc.width == cfg.width and acc.height == cfg.height
+    else:
+        acc = Accumulator(cfg.width, cfg.height)
+    acc.total_samples += cfg.seed_offset
+
+    mesh = None
+    if cfg.shard:
+        from ..dist import make_mesh
+
+        mesh = make_mesh()
+
+    log = MetricsLog(cfg.width, cfg.height, cfg.metrics_jsonl)
+    print(
+        f"surf_tpu: {cfg.scene} {cfg.width}x{cfg.height} spp={cfg.spp} "
+        f"frames={cfg.frames} tris={host.static.tri_count} "
+        f"devices={len(jax.devices())}{' (sharded)' if mesh else ''}"
+    )
+
+    for frame in range(cfg.frames):
+        if cfg.animate and frame > 0:
+            host.update(cfg.dt, rebuild=cfg.rebuild_bvh)
+            # Scene motion invalidates the accumulator (main.cpp:411-419).
+            acc.clear()
+
+        if mesh is not None:
+            from ..dist import render_frame_sharded
+
+            radiance = render_frame_sharded(
+                host.render_scene, rcfg, cam_params,
+                jnp.uint32(acc.total_samples), mesh,
+            )
+        else:
+            radiance = render_frame_jit(
+                host.render_scene, rcfg, cam_params,
+                jnp.uint32(acc.total_samples),
+            )
+        radiance = np.asarray(jax.block_until_ready(radiance))
+        acc.add_frame(radiance, cfg.spp)
+        m = log.tick(cfg.spp, acc.total_samples, acc.energy())
+        print(m.format_line())
+
+    if cfg.checkpoint and not cfg.resume:
+        acc.save(cfg.checkpoint)
+    if cfg.output:
+        save_image(cfg.output, acc.resolve())
+        print(f"wrote {cfg.output}")
+
+    return {
+        "energy": acc.energy(),
+        "total_samples": acc.total_samples,
+        "mrays_per_s": log.history[-1].mrays_per_s if log.history else 0.0,
+    }
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="surf_tpu", description=__doc__)
+    p.add_argument("--config", help="JSON config file (AppConfig fields)")
+    p.add_argument("--scene", default="indoor", choices=["indoor", "box"])
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--height", type=int, default=720)
+    p.add_argument("--spp", type=int, default=1)
+    p.add_argument("--frames", type=int, default=1)
+    p.add_argument("--max-bounces", type=int, default=None)
+    p.add_argument("--animate", action="store_true")
+    p.add_argument("--rebuild-bvh", action="store_true")
+    p.add_argument("--focal-length", type=float, default=None)
+    p.add_argument("--defocus-angle", type=float, default=None)
+    p.add_argument("--backend", default="default",
+                   choices=["default", "cpu", "cpu8"])
+    p.add_argument("--shard", action="store_true")
+    p.add_argument("--output", default=None)
+    p.add_argument("--metrics-jsonl", default=None)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.config:
+        cfg = AppConfig.from_file(args.config)
+    else:
+        cfg = AppConfig(
+            scene=args.scene, width=args.width, height=args.height,
+            spp=args.spp, frames=args.frames, max_bounces=args.max_bounces,
+            animate=args.animate, rebuild_bvh=args.rebuild_bvh,
+            focal_length=args.focal_length, defocus_angle=args.defocus_angle,
+            backend=args.backend, shard=args.shard, output=args.output,
+            metrics_jsonl=args.metrics_jsonl, checkpoint=args.checkpoint,
+            resume=args.resume,
+        )
+    run(cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

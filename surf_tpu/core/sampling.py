@@ -25,46 +25,61 @@ from .vecmath import (
 )
 
 
+def _tangent_frame_dir(r0, r1, normal):
+    """Cosine-weighted direction from two uniforms in the reference's
+    tangent frame (surf_math.cpp:119-129). Differentiable in ``normal``."""
+    r = jnp.sqrt(r0)
+    theta = F32_2PI * r1
+    dx = r * jnp.cos(theta)
+    dy = r * jnp.sin(theta)
+    dz = jnp.sqrt(jnp.float32(1.0) - r0)
+    x_max = jnp.float32(1.0) - F32_EPSILON
+    tmp = jnp.where(jnp.abs(normal[..., 0:1]) > x_max, WORLD_UP, WORLD_RIGHT)
+    b = normalize(cross(normal, tmp))
+    t = cross(b, normal)
+    return dx[..., None] * t + dy[..., None] * b + dz[..., None] * normal
+
+
 def cosine_hemisphere(seed: jnp.ndarray, normal: jnp.ndarray, active: jnp.ndarray):
     """randomOnHemisphereCosineWeighted (surf_math.cpp:116-134).
 
     Two f32 draws -> (r*cos, r*sin, sqrt(1-r0)) in a tangent frame built from
     WORLD_UP/WORLD_RIGHT; retries (re-drawing both) while dot(out, n) == 0.
     Only lanes where ``active`` consume randoms. Returns (seed, direction).
+
+    Reverse-mode AD note: the rejection ``while_loop`` carries only the
+    (uint32-derived, tangent-free) uniforms, with acceptance judged on a
+    detached normal; the returned direction is reconstructed *outside* the
+    loop from the live normal, so d(direction)/d(normal) flows while the loop
+    itself never sees a perturbed input.
     """
+    n_det = jax.lax.stop_gradient(normal)
 
     def draw(seed, mask):
         seed, r0 = rng.next_f32_masked(seed, mask)
         seed, r1 = rng.next_f32_masked(seed, mask)
-        r = jnp.sqrt(r0)
-        theta = F32_2PI * r1
-        dx = r * jnp.cos(theta)
-        dy = r * jnp.sin(theta)
-        dz = jnp.sqrt(jnp.float32(1.0) - r0)
+        return seed, r0, r1
 
-        x_max = jnp.float32(1.0) - F32_EPSILON
-        tmp = jnp.where(jnp.abs(normal[..., 0:1]) > x_max, WORLD_UP, WORLD_RIGHT)
-        b = normalize(cross(normal, tmp))
-        t = cross(b, normal)
-        out = dx[..., None] * t + dy[..., None] * b + dz[..., None] * normal
-        return seed, out
+    seed, r0, r1 = draw(seed, active)
 
-    seed, out = draw(seed, active)
-    # Retry while R.N == 0 exactly (degenerate frame), as the reference does.
+    def accept_fail(r0, r1, need):
+        out = _tangent_frame_dir(r0, r1, n_det)
+        return need & (dot(out, n_det) == jnp.float32(0.0))
+
     def cond(state):
-        seed, out, need = state
-        return jnp.any(need)
+        return jnp.any(state[3])
 
     def body(state):
-        seed, out, need = state
-        seed2, out2 = draw(seed, need)
-        out = jnp.where(need[..., None], out2, out)
-        need = need & (dot(out, normal) == jnp.float32(0.0))
-        return seed2, out, need
+        seed, r0, r1, need = state
+        seed2, r0n, r1n = draw(seed, need)
+        r0 = jnp.where(need, r0n, r0)
+        r1 = jnp.where(need, r1n, r1)
+        return seed2, r0, r1, accept_fail(r0, r1, need)
 
-    need = active & (dot(out, normal) == jnp.float32(0.0))
-    seed, out, _ = jax.lax.while_loop(cond, body, (seed, out, need))
-    return seed, out
+    seed, r0, r1, _ = jax.lax.while_loop(
+        cond, body, (seed, r0, r1, accept_fail(r0, r1, active))
+    )
+    return seed, _tangent_frame_dir(r0, r1, normal)
 
 
 def uniform_hemisphere(seed: jnp.ndarray, normal: jnp.ndarray, active: jnp.ndarray):

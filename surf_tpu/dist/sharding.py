@@ -1,0 +1,175 @@
+"""Multi-chip distribution: image tiles + ray lanes sharded over a device
+mesh, scene/BVH replicated, material/camera gradients all-reduced.
+
+The reference is single-GPU (SURVEY.md §2.3 P8 'absent'); this subsystem
+*adds* distribution per BASELINE.json: a 1-D ``Mesh(('chips',))`` (extended
+to ('hosts','chips') on multi-host pods via jax.distributed), with
+
+- pixel lanes (and thus every per-ray SoA array of the wavefront state)
+  sharded along 'chips' — pure data parallelism over the image, the natural
+  decomposition for path tracing: zero cross-chip traffic in the forward
+  bounce loop except the wave-termination all-reduce XLA derives from
+  ``jnp.any(alive)``;
+- the compiled scene (triangles, BVH pairs, material table) replicated, so
+  traversal gathers stay chip-local HBM reads;
+- gradients: each chip back-propagates its own pixels' radiance into the
+  *replicated* material/camera leaves, and XLA inserts the ``psum``
+  all-reduce over ICI automatically from the sharding annotations — the
+  'material-gradient all-reduce overlapped with backward shading' of the
+  BASELINE north star (overlap is XLA's latency-hiding scheduler's job once
+  the reduce is in the graph).
+
+Everything is expressed with ``jax.jit`` + ``NamedSharding`` constraints
+(pjit style) rather than hand-written collectives: SPMD partitioning derives
+the communication, and the same code runs on 1 chip, a v5e-8, or a
+multi-host slice.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..diff.estimator import DiffTargets, apply_targets
+from ..scene.camera import CameraParams
+from ..scene.compile import RenderScene
+from ..wavefront.integrator import (
+    RenderConfig,
+    render_sample,
+)
+from ..scene.camera import view_plane_jnp
+from ..core import rng
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D device mesh over the 'chips' axis."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), ("chips",))
+
+
+def _lane_arrays(cfg: RenderConfig, total_samples):
+    n = cfg.width * cfg.height
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    px = (lane % jnp.uint32(cfg.width)).astype(jnp.int32)
+    py = (lane // jnp.uint32(cfg.width)).astype(jnp.int32)
+    seed0 = rng.pixel_seed(lane, total_samples)
+    return seed0, px, py
+
+
+def _render_lanes(scene: RenderScene, cfg: RenderConfig, cam: CameraParams,
+                  seed0, px, py):
+    """spp-sample accumulation over (possibly sharded) lane arrays."""
+    vp = view_plane_jnp(cam, cfg.width, cfg.height)
+
+    def body(_, carry):
+        seed, acc = carry
+        seed, energy = render_sample(scene, cfg, vp, seed, px, py)
+        return seed, acc + energy
+
+    _, acc = jax.lax.fori_loop(
+        0, cfg.spp, body, (seed0, jnp.zeros((px.shape[0], 3), jnp.float32))
+    )
+    return acc
+
+
+def render_frame_sharded(scene: RenderScene, cfg: RenderConfig,
+                         cam: CameraParams, total_samples, mesh: Mesh):
+    """Forward frame render with pixel lanes sharded over mesh axis 'chips'.
+
+    Returns the full [H, W, 3] radiance-sum image (replicated)."""
+    n = cfg.width * cfg.height
+    n_dev = mesh.devices.size
+    assert n % n_dev == 0, f"lane count {n} not divisible by {n_dev} chips"
+
+    lane_sharding = NamedSharding(mesh, P("chips"))
+    repl = NamedSharding(mesh, P())
+
+    seed0, px, py = _lane_arrays(cfg, total_samples)
+    seed0 = jax.device_put(seed0, lane_sharding)
+    px = jax.device_put(px, lane_sharding)
+    py = jax.device_put(py, lane_sharding)
+    scene = jax.device_put(scene, repl)
+    cam = jax.device_put(cam, repl)
+
+    fn = jax.jit(
+        _render_lanes,
+        static_argnums=(1,),
+        out_shardings=lane_sharding,
+    )
+    acc = fn(scene, cfg, cam, seed0, px, py)
+    return acc.reshape(cfg.height, cfg.width, 3)
+
+
+def grad_step_sharded(scene: RenderScene, cfg: RenderConfig,
+                      targets: DiffTargets, total_samples, mesh: Mesh,
+                      reference_image=None):
+    """One differentiable render + backward over the mesh: lanes sharded,
+    targets replicated; the gradient all-reduce is derived by SPMD from the
+    replicated-out-sharding constraint.  Returns (loss, grads) replicated."""
+    n = cfg.width * cfg.height
+    n_dev = mesh.devices.size
+    assert n % n_dev == 0
+    assert cfg.max_bounces is not None
+
+    lane_sharding = NamedSharding(mesh, P("chips"))
+    repl = NamedSharding(mesh, P())
+
+    seed0, px, py = _lane_arrays(cfg, total_samples)
+    seed0 = jax.device_put(seed0, lane_sharding)
+    px = jax.device_put(px, lane_sharding)
+    py = jax.device_put(py, lane_sharding)
+    scene = jax.device_put(scene, repl)
+    targets = jax.device_put(targets, repl)
+    ref = None
+    if reference_image is not None:
+        ref = jax.device_put(
+            jnp.asarray(reference_image).reshape(n, 3), lane_sharding
+        )
+
+    # NOTE: every sharded lane array must be an explicit jit argument —
+    # closure-captured sharded arrays are treated as constants and defeat
+    # SPMD partitioning (observed: single-partition HLO, no all-reduce).
+    def loss_fn(t, sc, seed0, px, py, ref_lanes):
+        img = _render_lanes(
+            apply_targets(sc, t), cfg, t.camera, seed0, px, py
+        ) / jnp.float32(cfg.spp)
+        if ref_lanes is not None:
+            d = img - ref_lanes
+            return jnp.mean(d * d)
+        return jnp.mean(img)
+
+    fn = jax.jit(
+        jax.value_and_grad(loss_fn),
+        static_argnames=(),
+        out_shardings=(repl, repl),
+    )
+    return fn(targets, scene, seed0, px, py, ref)
+
+
+def scaling_sweep(scene: RenderScene, cfg: RenderConfig, cam: CameraParams,
+                  device_counts, repeats: int = 3):
+    """Throughput vs chip count (BASELINE config 5's measurement harness).
+    Returns {n_devices: seconds_per_frame_best}."""
+    import time
+
+    results = {}
+    for nd in device_counts:
+        mesh = make_mesh(nd)
+        # warmup/compile
+        img = render_frame_sharded(scene, cfg, cam, jnp.uint32(0), mesh)
+        jax.block_until_ready(img)
+        best = np.inf
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            img = render_frame_sharded(scene, cfg, cam, jnp.uint32(0), mesh)
+            jax.block_until_ready(img)
+            best = min(best, time.perf_counter() - t0)
+        results[nd] = best
+    return results

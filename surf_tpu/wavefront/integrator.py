@@ -147,8 +147,10 @@ def bounce_step(scene: RenderScene, cfg: RenderConfig, s: PathState) -> PathStat
     sg = jax.lax.stop_gradient
 
     # ---- EXTEND (ray_extend.comp / bvh.cpp traversal), detached ----------
+    # The trace arrays are detached too so vertex-perturbed scenes never leak
+    # tangents into the traversal while_loop (no transpose rule exists).
     hit = traverse(
-        scene.trace,
+        jax.tree.map(sg, scene.trace),
         sg(s.origin), sg(s.direction),
         jnp.full(n, F32_FAR_AWAY, jnp.float32),
         s.alive, cfg.stack_depth,
@@ -361,8 +363,8 @@ def _next_event(scene, cfg, seed, m_diff, I, N, brdf, transmission, energy):
 
     # CONNECT: any-hit occlusion traversal, detached.
     occ_hit = traverse(
-        scene.trace, sg(SO), sg(L), sg(sr_depth), nee_ok, cfg.stack_depth,
-        any_hit=True,
+        jax.tree.map(sg, scene.trace), sg(SO), sg(L), sg(sr_depth), nee_ok,
+        cfg.stack_depth, any_hit=True,
     )
     unoccluded = nee_ok & (occ_hit.prim < 0)
 

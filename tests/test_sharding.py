@@ -1,0 +1,109 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh (conftest sets
+xla_force_host_platform_device_count=8; SURVEY.md §4)."""
+
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from surf_tpu.diff import DiffTargets, grad_image_loss
+from surf_tpu.dist import grad_step_sharded, make_mesh, render_frame_sharded
+from surf_tpu.scene import builtin
+from surf_tpu.scene.camera import CameraParams
+from surf_tpu.scene.compile import HostCompiled
+from surf_tpu.wavefront import RenderConfig, render_frame_jit
+
+warnings.filterwarnings("ignore", category=RuntimeWarning)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    host = HostCompiled(builtin.make_diffuse_box_scene())
+    W = H = 16
+    cam = builtin.make_indoor_camera(W, H)
+    cfg = RenderConfig.for_scene(host.static, W, H, 2, use_defocus=True)
+    return host, cam, cfg
+
+
+def test_sharded_matches_single_device(setup):
+    """Same seed => sharded render must equal the single-device render
+    bit-for-bit (lane computation is embarrassingly parallel)."""
+    host, cam, cfg = setup
+    cp = CameraParams.from_camera(cam)
+    single = np.asarray(
+        render_frame_jit(host.render_scene, cfg, cp, jnp.uint32(0))
+    )
+    for nd in (2, 8):
+        mesh = make_mesh(nd)
+        sharded = np.asarray(
+            render_frame_sharded(host.render_scene, cfg, cp, jnp.uint32(0), mesh)
+        )
+        assert np.allclose(single, sharded, atol=1e-5), nd
+
+
+def test_sharded_gradients_match_single_device(setup):
+    """The SPMD-derived gradient all-reduce must reproduce single-device
+    gradients for materials and camera."""
+    host, cam, cfg = setup
+    cfg = cfg._replace(max_bounces=12)
+    targets = DiffTargets.from_scene(
+        host.render_scene, CameraParams.from_camera(cam)
+    )
+    loss1, g1 = grad_image_loss(host.render_scene, cfg, targets, jnp.uint32(0))
+    mesh = make_mesh(8)
+    loss8, g8 = grad_step_sharded(
+        host.render_scene, cfg, targets, jnp.uint32(0), mesh
+    )
+    assert np.isclose(float(loss1), float(loss8), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g8)):
+        assert np.allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_gradient_allreduce_in_compiled_graph(setup):
+    """The backward pass over sharded lanes into replicated targets must
+    contain a cross-chip reduction (the material-gradient all-reduce)."""
+    host, cam, cfg = setup
+    cfg = cfg._replace(max_bounces=4)
+    targets = DiffTargets.from_scene(
+        host.render_scene, CameraParams.from_camera(cam)
+    )
+    mesh = make_mesh(8)
+
+    # Reuse grad_step_sharded's internals via lowering: compile and inspect.
+    import surf_tpu.dist.sharding as sh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    lane_sharding = NamedSharding(mesh, P("chips"))
+    repl = NamedSharding(mesh, P())
+    seed0, px, py = sh._lane_arrays(cfg, jnp.uint32(0))
+    seed0 = jax.device_put(seed0, lane_sharding)
+    px = jax.device_put(px, lane_sharding)
+    py = jax.device_put(py, lane_sharding)
+    scene = jax.device_put(host.render_scene, repl)
+    t_repl = jax.device_put(targets, repl)
+
+    def loss_fn(t, sc, seed0, px, py):
+        img = sh._render_lanes(
+            sh.apply_targets(sc, t), cfg, t.camera, seed0, px, py
+        )
+        return jnp.mean(img)
+
+    lowered = jax.jit(
+        jax.grad(loss_fn), out_shardings=repl
+    ).lower(t_repl, scene, seed0, px, py)
+    compiled_text = lowered.compile().as_text()
+    assert "num_partitions=8" in compiled_text
+    assert "all-reduce" in compiled_text, "expected a gradient all-reduce"
+
+
+def test_uneven_lane_count_rejected(setup):
+    host, cam, cfg = setup
+    bad_cfg = cfg._replace(width=15, height=3)  # 45 lanes, not divisible by 8
+    with pytest.raises(AssertionError):
+        render_frame_sharded(
+            host.render_scene, bad_cfg, CameraParams.from_camera(cam),
+            jnp.uint32(0), make_mesh(8),
+        )
