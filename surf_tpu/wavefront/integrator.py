@@ -55,16 +55,23 @@ class RenderConfig(NamedTuple):
     num_lights: int
     max_bounces: int | None = None  # None -> unbounded while_loop (forward only)
     wave_limit: int = 8192          # safety cap for the unbounded loop
+    use_pallas: bool = False        # Pallas packet-traversal kernels (TPU)
+    pallas_interpret: bool = False  # interpreter mode (CPU testing)
 
     @classmethod
     def for_scene(
         cls, static: SceneStatic, width: int, height: int, spp: int,
         use_defocus: bool, max_bounces: int | None = None,
+        use_pallas: bool | None = None,
     ) -> "RenderConfig":
+        if use_pallas is None:
+            import jax
+
+            use_pallas = jax.default_backend() not in ("cpu",)
         return cls(
             width=width, height=height, spp=spp, use_defocus=use_defocus,
             stack_depth=static.stack_depth, num_lights=static.num_lights,
-            max_bounces=max_bounces,
+            max_bounces=max_bounces, use_pallas=use_pallas,
         )
 
 
@@ -125,6 +132,21 @@ def _radians(deg):
 # Stage 2-4: extend / shade / connect fused into one masked bounce step
 # --------------------------------------------------------------------------
 
+def _dispatch_traverse(cfg: RenderConfig, trace, origin, direction, t_max,
+                       active, any_hit: bool):
+    """Select the Pallas packet kernel (TPU perf path) or the XLA lockstep
+    walk (CPU/tests) — identical semantics, tested against each other."""
+    if cfg.use_pallas:
+        from ..accel.pallas_traverse import traverse_pallas
+
+        return traverse_pallas(
+            trace, origin, direction, t_max, active,
+            any_hit=any_hit, interpret=cfg.pallas_interpret,
+        )
+    return traverse(trace, origin, direction, t_max, active,
+                    cfg.stack_depth, any_hit=any_hit)
+
+
 def _sample_background(scene: RenderScene, direction):
     """Scene::sampleBackground (scene.cpp:35-51)."""
     alpha = jnp.float32(0.5) * (jnp.float32(1.0) + direction[:, 1])
@@ -149,11 +171,13 @@ def bounce_step(scene: RenderScene, cfg: RenderConfig, s: PathState) -> PathStat
     # ---- EXTEND (ray_extend.comp / bvh.cpp traversal), detached ----------
     # The trace arrays are detached too so vertex-perturbed scenes never leak
     # tangents into the traversal while_loop (no transpose rule exists).
-    hit = traverse(
+    hit = _dispatch_traverse(
+        cfg,
         jax.tree.map(sg, scene.trace),
         sg(s.origin), sg(s.direction),
         jnp.full(n, F32_FAR_AWAY, jnp.float32),
-        s.alive, cfg.stack_depth,
+        s.alive,
+        any_hit=False,
     )
     prim = hit.prim
     found = prim >= 0
@@ -362,9 +386,9 @@ def _next_event(scene, cfg, seed, m_diff, I, N, brdf, transmission, energy):
     nee_ok = m_diff & (cos_o > 0) & (cos_li > 0)
 
     # CONNECT: any-hit occlusion traversal, detached.
-    occ_hit = traverse(
-        jax.tree.map(sg, scene.trace), sg(SO), sg(L), sg(sr_depth), nee_ok,
-        cfg.stack_depth, any_hit=True,
+    occ_hit = _dispatch_traverse(
+        cfg, jax.tree.map(sg, scene.trace), sg(SO), sg(L), sg(sr_depth),
+        nee_ok, any_hit=True,
     )
     unoccluded = nee_ok & (occ_hit.prim < 0)
 

@@ -7,7 +7,12 @@ import numpy as np
 import pytest
 
 from surf_tpu.accel import builder
-from surf_tpu.accel.traverse import bvh_max_depth, pack_bvh, traverse, TraceArrays
+from surf_tpu.accel.traverse import (
+    TraceArrays,
+    build_skiplinks,
+    bvh_max_depth,
+    traverse,
+)
 from surf_tpu.scene.mesh import make_cube, make_icosphere
 
 
@@ -62,12 +67,12 @@ def test_traversal_matches_brute_force(mesh_fn):
     v0, v1, v2 = mesh.v0, mesh.v1, mesh.v2
     bvh = builder.build_blas(v0, v1, v2)
     _validate_bvh(bvh, len(v0))
-    boxes, meta = pack_bvh(bvh)
+    boxes, meta = build_skiplinks(bvh)
     perm = bvh.indices.astype(np.int64)
     arrays = TraceArrays(
         tri_v0=jnp.asarray(v0[perm]), tri_v1=jnp.asarray(v1[perm]),
         tri_v2=jnp.asarray(v2[perm]),
-        pair_boxes=jnp.asarray(boxes), pair_meta=jnp.asarray(meta),
+        node_boxes=jnp.asarray(boxes), node_meta=jnp.asarray(meta),
     )
     depth = bvh_max_depth(bvh) + 2
 
@@ -149,10 +154,10 @@ def test_single_triangle_bvh():
     v2 = np.array([[0, 1, 0]], np.float32)
     bvh = builder.build_blas(v0, v1, v2)
     assert bvh.count[0] == 1  # root is a leaf
-    boxes, meta = pack_bvh(bvh)
+    boxes, meta = build_skiplinks(bvh)
     arrays = TraceArrays(
         tri_v0=jnp.asarray(v0), tri_v1=jnp.asarray(v1), tri_v2=jnp.asarray(v2),
-        pair_boxes=jnp.asarray(boxes), pair_meta=jnp.asarray(meta),
+        node_boxes=jnp.asarray(boxes), node_meta=jnp.asarray(meta),
     )
     o = jnp.asarray([[0.2, 0.2, -1.0], [5.0, 5.0, -1.0]])
     d = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
