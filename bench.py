@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Headline benchmark: forward wavefront render of the built-in indoor scene.
+
+Prints ONE JSON line:
+  {"metric": "rays_per_s_chip", "value": N, "unit": "rays/s", "vs_baseline": x}
+
+The metric matches the reference's runtime instrumentation
+(/root/reference/sources/main.cpp:430-431): primary samples per second
+(W*H*spp / frame time), measured at 512x512 @ 16 spp (BASELINE config 2
+shape) on whatever single chip is available.  vs_baseline is against the
+BASELINE.json north star of 2e8 rays/s/chip.
+
+Robustness: falls back to smaller configurations (or the CPU backend) rather
+than crashing, and reports which configuration ran in "detail".
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+import warnings
+
+warnings.filterwarnings("ignore")
+
+BASELINE_RAYS_PER_S = 2.0e8
+
+
+def run_bench(width, height, spp, max_bounces, use_pallas, frames=3):
+    import jax
+    import jax.numpy as jnp
+
+    from surf_tpu.scene import builtin
+    from surf_tpu.scene.camera import CameraParams
+    from surf_tpu.scene.compile import HostCompiled
+    from surf_tpu.wavefront import RenderConfig, render_frame_jit
+
+    host = HostCompiled(builtin.make_indoor_scene())
+    scene = jax.device_put(host.render_scene)
+    cam = builtin.make_indoor_camera(width, height)
+    cp = CameraParams.from_camera(cam)
+    cfg = RenderConfig.for_scene(
+        host.static, width, height, spp, use_defocus=True,
+        use_pallas=use_pallas,
+    )._replace(max_bounces=max_bounces)
+
+    # compile + warmup
+    img = jax.block_until_ready(render_frame_jit(scene, cfg, cp, jnp.uint32(0)))
+    t0 = time.perf_counter()
+    for i in range(frames):
+        img = render_frame_jit(scene, cfg, cp, jnp.uint32((i + 1) * spp))
+    jax.block_until_ready(img)
+    dt = (time.perf_counter() - t0) / frames
+
+    import numpy as np
+
+    energy = float(np.asarray(img).sum()) / spp
+    assert np.isfinite(energy) and energy > 0, "render produced bad energy"
+    rays_per_s = width * height * spp / dt
+    return rays_per_s, dt, energy
+
+
+def main():
+    import jax
+
+    backend = jax.default_backend()
+    attempts = [
+        dict(width=512, height=512, spp=16, max_bounces=48,
+             use_pallas=backend != "cpu"),
+        dict(width=256, height=256, spp=4, max_bounces=32,
+             use_pallas=backend != "cpu"),
+        dict(width=128, height=128, spp=2, max_bounces=24, use_pallas=False),
+    ]
+    last_err = None
+    for att in attempts:
+        try:
+            rays_per_s, dt, energy = run_bench(**att)
+            print(json.dumps({
+                "metric": "rays_per_s_chip",
+                "value": rays_per_s,
+                "unit": "rays/s",
+                "vs_baseline": rays_per_s / BASELINE_RAYS_PER_S,
+                "detail": {
+                    "backend": backend,
+                    "config": att,
+                    "frame_time_s": dt,
+                    "energy": energy,
+                },
+            }))
+            return 0
+        except Exception as e:  # noqa: BLE001 — fall back to smaller config
+            last_err = e
+            print(f"bench config {att} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    print(json.dumps({
+        "metric": "rays_per_s_chip", "value": 0.0, "unit": "rays/s",
+        "vs_baseline": 0.0, "detail": {"error": str(last_err)[:300]},
+    }))
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

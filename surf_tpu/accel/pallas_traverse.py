@@ -92,9 +92,13 @@ def _traverse_kernel(
     inv_dz = jnp.float32(1.0) / dz
 
     # NOTE: the live mask is re-derived from best_p each step rather than
-    # carried — Mosaic cannot legalize vector<i1> loop carries.
+    # carried — Mosaic cannot legalize vector<i1> loop carries.  The while
+    # condition is scalar-only (pure dfs bound): early exits are expressed
+    # by jumping dfs to n_nodes inside the body, and termination is
+    # unconditionally guaranteed by the strict-progress guard below.
     init = (
-        jnp.int32(0),                          # dfs
+        # packets with no active lanes skip the walk entirely
+        jnp.where(jnp.any(act), jnp.int32(0), jnp.int32(n_nodes)),
         tmax_ref[0],                           # best_t
         jnp.full((SUB, LANE), -1, jnp.int32),  # best prim
         jnp.zeros((SUB, LANE), jnp.float32),   # best u
@@ -108,8 +112,7 @@ def _traverse_kernel(
         return act
 
     def cond(c):
-        dfs, best_p = c[0], c[2]
-        return (dfs < n_nodes) & jnp.any(live_mask(best_p))
+        return c[0] < n_nodes
 
     def body(c):
         dfs, best_t, best_p, best_u, best_v = c
@@ -189,18 +192,32 @@ def _traverse_kernel(
             best_v = jnp.where(hit, v, best_v)
             return best_t, best_p, best_u, best_v
 
-        def do_leaf(args):
-            return jax.lax.fori_loop(0, leaf_count, tri_body, args)
-
-        best_t, best_p, best_u, best_v = jax.lax.cond(
-            packet_hit & is_leaf,
-            do_leaf,
-            lambda args: args,
-            (best_t, best_p, best_u, best_v),
+        # Dynamic trip count, zero when the packet misses or the node is
+        # internal (a lax.cond around this miscompiled in Mosaic — the
+        # branch-free form is also cheaper).  Clamped: a corrupted count
+        # must not turn into an unbounded loop on-device.
+        n_tris = jnp.clip(
+            jnp.where(packet_hit & is_leaf, leaf_count, 0), 0, 256
+        )
+        best_t, best_p, best_u, best_v = jax.lax.fori_loop(
+            0, n_tris, tri_body, (best_t, best_p, best_u, best_v)
         )
 
         descend = packet_hit & ~is_leaf
         new_dfs = jnp.where(descend, dfs + 1, skip)
+        # Strict-progress guard: a valid skip link always satisfies
+        # skip > dfs (skip = dfs + subtree size), so forcing monotone
+        # progress never changes a correct walk — but it makes the loop
+        # provably terminating (<= n_nodes iterations) even if a record
+        # read ever returns garbage.  A faulted TPU worker wedges the whole
+        # chip for minutes; this guard converts that failure mode into a
+        # wrong (testable) result instead.
+        new_dfs = jnp.maximum(new_dfs, dfs + 1)
+        if any_hit:
+            # all active lanes occluded -> stop this packet's walk
+            new_dfs = jnp.where(
+                jnp.any(act & (best_p < 0)), new_dfs, jnp.int32(n_nodes)
+            )
         return new_dfs, best_t, best_p, best_u, best_v
 
     _, best_t, best_p, best_u, best_v = jax.lax.while_loop(cond, body, init)

@@ -57,6 +57,7 @@ class RenderConfig(NamedTuple):
     wave_limit: int = 8192          # safety cap for the unbounded loop
     use_pallas: bool = False        # Pallas packet-traversal kernels (TPU)
     pallas_interpret: bool = False  # interpreter mode (CPU testing)
+    compact: bool = False           # sort live paths to the front each wave
 
     @classmethod
     def for_scene(
@@ -77,7 +78,9 @@ class RenderConfig(NamedTuple):
 
 class PathState(NamedTuple):
     """Dense SoA lane state — the TPU analog of the reference's GPURay AoS
-    buffers (headers/ray.h:22-31), split per field (SURVEY.md §2 Ray types)."""
+    buffers (headers/ray.h:22-31), split per field (SURVEY.md §2 Ray types).
+    ``pixel`` tracks the owning pixel so compaction can permute lanes (the
+    GPURayState.pixelIdx analog, ray.h:12)."""
 
     origin: jnp.ndarray        # [N,3]
     direction: jnp.ndarray     # [N,3]
@@ -87,6 +90,20 @@ class PathState(NamedTuple):
     last_specular: jnp.ndarray # [N] bool
     in_medium: jnp.ndarray     # [N] bool
     alive: jnp.ndarray         # [N] bool
+    pixel: jnp.ndarray         # [N] int32
+
+
+def compact_paths(state: PathState) -> PathState:
+    """Stream compaction: stable-sort lanes so live paths are contiguous at
+    the front.  The TPU-native replacement for the reference's atomicAdd
+    work queues (SURVEY.md §2.3 P3 'compaction via sort/prefix-sum'):
+    packet-traversal blocks whose lanes are all dead exit in O(1), so
+    occupancy decay (4096 -> 22 live lanes by wave 20 on the indoor scene)
+    stops costing full-width traversals.  RNG parity is unaffected — each
+    path carries its own seed stream and consumption is order-independent
+    across lanes."""
+    perm = jnp.argsort((~state.alive).astype(jnp.int32), stable=True)
+    return jax.tree.map(lambda x: jnp.take(x, perm, axis=0), state)
 
 
 # --------------------------------------------------------------------------
@@ -316,6 +333,7 @@ def bounce_step(scene: RenderScene, cfg: RenderConfig, s: PathState) -> PathStat
         last_specular=jnp.where(alive, new_last_spec, s.last_specular),
         in_medium=jnp.where(alive, new_in_medium, s.in_medium),
         alive=alive,
+        pixel=s.pixel,
     )
 
 
@@ -419,7 +437,13 @@ def render_sample(scene: RenderScene, cfg: RenderConfig, vp: ViewPlane,
         last_specular=jnp.ones(n, bool),
         in_medium=jnp.zeros(n, bool),
         alive=jnp.ones(n, bool),
+        pixel=jnp.arange(n, dtype=jnp.int32),
     )
+
+    def wave(s):
+        if cfg.compact:
+            s = compact_paths(s)
+        return bounce_step(scene, cfg, s)
 
     if cfg.max_bounces is None:
         def cond(carry):
@@ -428,17 +452,24 @@ def render_sample(scene: RenderScene, cfg: RenderConfig, vp: ViewPlane,
 
         def body(carry):
             i, s = carry
-            return i + 1, bounce_step(scene, cfg, s)
+            return i + 1, wave(s)
 
         _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
     else:
         def body(_, s):
-            return bounce_step(scene, cfg, s)
+            return wave(s)
 
         state = jax.lax.fori_loop(0, cfg.max_bounces, body, state)
         # Paths still alive at the cap contribute nothing further — matches
         # an RR kill without compensation (bias ~0 for caps >= ~32).
 
+    if cfg.compact:
+        # Restore pixel order for the per-pixel accumulator and seed streams.
+        order = jnp.argsort(state.pixel)
+        return (
+            jnp.take(state.seed, order),
+            jnp.take(state.energy, order, axis=0),
+        )
     return state.seed, state.energy
 
 
