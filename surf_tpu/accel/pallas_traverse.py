@@ -228,27 +228,6 @@ def _traverse_kernel(
     v_out[0] = best_v
 
 
-def _pack_records(f32_cols: list[jnp.ndarray], i32_cols: list[jnp.ndarray]):
-    """Pack per-record columns into the 8-records-per-row VMEM layout.
-
-    Returns a [ceil(n/8) (padded to 8), 128] f32 array where record i lives
-    at row i>>3, lanes (i&7)*16 .. +15, fields in f32_cols ++ i32_cols
-    (ints bitcast to f32)."""
-    n = f32_cols[0].shape[0]
-    cols = [c.astype(jnp.float32) for c in f32_cols] + [
-        jax.lax.bitcast_convert_type(c.astype(jnp.int32), jnp.float32)
-        for c in i32_cols
-    ]
-    k = len(cols)
-    assert k <= REC
-    rec = jnp.stack(cols, axis=1)                       # [n, k]
-    rec = jnp.pad(rec, ((0, 0), (0, REC - k)))          # [n, 16]
-    rows = (n + REC_PER_ROW - 1) // REC_PER_ROW
-    rows_pad = rows + ((-rows) % SUB)
-    flat = jnp.zeros((rows_pad * REC_PER_ROW, REC), jnp.float32).at[:n].set(rec)
-    return flat.reshape(rows_pad, LANE)
-
-
 @functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
 def traverse_pallas(
     arrays: TraceArrays,
@@ -280,21 +259,14 @@ def traverse_pallas(
     tm = prep(t_max.astype(jnp.float32))
     ac = prep(active.astype(jnp.int32))
 
-    # Packed scene tables (loop-invariant: XLA hoists them out of the
-    # bounce loop; ~6 MB VMEM total for the indoor scene).
+    # Packed scene tables are built host-side at scene compile
+    # (TraceArrays.nodes_packed/tris_packed): the pallas_call must receive
+    # plain device arrays — transposed intermediates produced inside this
+    # jit reached the custom call with a mismatched layout and corrupted
+    # in-kernel reads (device faults).
     d_nodes = arrays.node_boxes.shape[0]
-    nodes_packed = _pack_records(
-        [arrays.node_boxes[:, i] for i in range(6)],
-        [arrays.node_meta[:, i] for i in range(3)],
-    )
-    e1 = arrays.tri_v1 - arrays.tri_v0
-    e2 = arrays.tri_v2 - arrays.tri_v0
-    tris_packed = _pack_records(
-        [arrays.tri_v0[:, 0], arrays.tri_v0[:, 1], arrays.tri_v0[:, 2],
-         e1[:, 0], e1[:, 1], e1[:, 2],
-         e2[:, 0], e2[:, 1], e2[:, 2]],
-        [],
-    )
+    nodes_packed = arrays.nodes_packed
+    tris_packed = arrays.tris_packed
 
     ray_spec = pl.BlockSpec((1, SUB, LANE), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)

@@ -42,13 +42,57 @@ class TraceArrays(NamedTuple):
     """Device-resident flattened BVH + triangle geometry (jnp pytree).
 
     Nodes are in DFS preorder; ``node_meta[:, 0]`` = leaf first-tri slot,
-    ``[:, 1]`` = leaf tri count (0 for internal), ``[:, 2]`` = skip link."""
+    ``[:, 1]`` = leaf tri count (0 for internal), ``[:, 2]`` = skip link.
+
+    ``nodes_packed`` / ``tris_packed`` are the VMEM record layout consumed
+    by the Pallas packet kernel (16 lanes per record, 8 records per 128-lane
+    row; see accel/pallas_traverse.py).  They are packed host-side at scene
+    compile so the pallas_call receives plain device arrays — packing them
+    inside the render jit handed the custom call transposed intermediates
+    whose layout assignment corrupted in-kernel reads (observed as OOB
+    device faults)."""
 
     tri_v0: jnp.ndarray     # [T,3] leaf-ordered world-space vertices
     tri_v1: jnp.ndarray     # [T,3]
     tri_v2: jnp.ndarray     # [T,3]
     node_boxes: jnp.ndarray # [D,6] (lo xyz, hi xyz) in DFS order
     node_meta: jnp.ndarray  # [D,3] int32 (leaf_first, leaf_count, skip)
+    nodes_packed: jnp.ndarray  # [ceil(D/8)pad, 128] f32 packed records
+    tris_packed: jnp.ndarray   # [ceil(T/8)pad, 128] f32 packed records
+
+
+def pack_records_np(f32_cols, i32_cols) -> np.ndarray:
+    """Host-side packer for the Pallas record layout: 16 lanes per record
+    (f32 fields then int32 fields bitcast to f32), 8 records per row."""
+    n = len(f32_cols[0])
+    cols = [np.asarray(c, np.float32) for c in f32_cols] + [
+        np.asarray(c, np.int32).view(np.float32) for c in i32_cols
+    ]
+    k = len(cols)
+    assert k <= 16
+    rec = np.zeros((n, 16), np.float32)
+    for j, c in enumerate(cols):
+        rec[:, j] = c
+    rows = (n + 7) // 8
+    rows_pad = rows + ((-rows) % 8)
+    flat = np.zeros((rows_pad * 8, 16), np.float32)
+    flat[:n] = rec
+    return flat.reshape(rows_pad, 128)
+
+
+def pack_trace_tables(tri_v0, tri_v1, tri_v2, boxes, meta):
+    """Build (nodes_packed, tris_packed) from host arrays."""
+    nodes_packed = pack_records_np(
+        [boxes[:, i] for i in range(6)], [meta[:, i] for i in range(3)]
+    )
+    e1 = np.asarray(tri_v1, np.float32) - tri_v0
+    e2 = np.asarray(tri_v2, np.float32) - tri_v0
+    tris_packed = pack_records_np(
+        [tri_v0[:, 0], tri_v0[:, 1], tri_v0[:, 2],
+         e1[:, 0], e1[:, 1], e1[:, 2], e2[:, 0], e2[:, 1], e2[:, 2]],
+        [],
+    )
+    return nodes_packed, tris_packed
 
 
 def build_skiplinks(bvh: BVH) -> tuple[np.ndarray, np.ndarray]:

@@ -19,16 +19,22 @@ from .metrics import MetricsLog
 
 
 def build_scene(cfg: AppConfig):
+    """Returns (HostCompiled, camera_spec|None)."""
     from ..scene import builtin
     from ..scene.compile import HostCompiled
 
+    cam_spec = None
     if cfg.scene == "indoor":
         scene = builtin.make_indoor_scene()
     elif cfg.scene == "box":
         scene = builtin.make_diffuse_box_scene()
+    elif cfg.scene.endswith(".json"):
+        from ..scene.loader import load_scene_file
+
+        scene, cam_spec = load_scene_file(cfg.scene)
     else:
         raise ValueError(f"unknown scene: {cfg.scene}")
-    return HostCompiled(scene)
+    return HostCompiled(scene), cam_spec
 
 
 def run(cfg: AppConfig) -> dict:
@@ -49,8 +55,13 @@ def run(cfg: AppConfig) -> dict:
     from ..wavefront.accumulator import Accumulator
     from ..wavefront.integrator import RenderConfig, render_frame_jit
 
-    host = build_scene(cfg)
-    cam = make_indoor_camera(cfg.width, cfg.height)
+    host, cam_spec = build_scene(cfg)
+    if cam_spec is not None:
+        from ..scene.loader import camera_from_spec
+
+        cam = camera_from_spec(cam_spec, cfg.width, cfg.height)
+    else:
+        cam = make_indoor_camera(cfg.width, cfg.height)
     if cfg.focal_length is not None:
         cam.focal_length = cfg.focal_length
     if cfg.defocus_angle is not None:
@@ -122,7 +133,8 @@ def run(cfg: AppConfig) -> dict:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="surf_tpu", description=__doc__)
     p.add_argument("--config", help="JSON config file (AppConfig fields)")
-    p.add_argument("--scene", default="indoor", choices=["indoor", "box"])
+    p.add_argument("--scene", default="indoor",
+                   help="indoor | box | path to a scene .json")
     p.add_argument("--width", type=int, default=1280)
     p.add_argument("--height", type=int, default=720)
     p.add_argument("--spp", type=int, default=1)

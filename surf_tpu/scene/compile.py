@@ -29,7 +29,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..accel import builder
-from ..accel.traverse import TraceArrays, build_skiplinks, bvh_max_depth
+from ..accel.traverse import (
+    TraceArrays,
+    build_skiplinks,
+    bvh_max_depth,
+    pack_trace_tables,
+)
 from .material import build_material_table
 from .scene import Scene
 
@@ -150,6 +155,10 @@ class HostCompiled:
     def _refresh_device(self):
         perm = self.bvh.indices.astype(np.int64)
         boxes, meta = build_skiplinks(self.bvh)
+        tv0 = self.samp_v0[perm]
+        tv1 = self.samp_v1[perm]
+        tv2 = self.samp_v2[perm]
+        nodes_packed, tris_packed = pack_trace_tables(tv0, tv1, tv2, boxes, meta)
         scene = self.scene
         bg = scene.background
         light_inst = np.asarray(scene.light_indices, np.int32)
@@ -159,11 +168,13 @@ class HostCompiled:
         j = jnp.asarray
         self.render_scene = RenderScene(
             trace=TraceArrays(
-                tri_v0=j(self.samp_v0[perm]),
-                tri_v1=j(self.samp_v1[perm]),
-                tri_v2=j(self.samp_v2[perm]),
+                tri_v0=j(tv0),
+                tri_v1=j(tv1),
+                tri_v2=j(tv2),
                 node_boxes=j(boxes),
                 node_meta=j(meta),
+                nodes_packed=j(nodes_packed),
+                tris_packed=j(tris_packed),
             ),
             tri_inst=j(self.tri_inst[perm]),
             tri_n0=j(self.samp_n0[perm]),

@@ -58,6 +58,7 @@ class RenderConfig(NamedTuple):
     use_pallas: bool = False        # Pallas packet-traversal kernels (TPU)
     pallas_interpret: bool = False  # interpreter mode (CPU testing)
     compact: bool = False           # sort live paths to the front each wave
+    remat: bool = False             # checkpoint each wave (reverse-mode memory)
 
     @classmethod
     def for_scene(
@@ -93,7 +94,7 @@ class PathState(NamedTuple):
     pixel: jnp.ndarray         # [N] int32
 
 
-def compact_paths(state: PathState) -> PathState:
+def compact_paths(state: PathState, coherence: bool = True) -> PathState:
     """Stream compaction: stable-sort lanes so live paths are contiguous at
     the front.  The TPU-native replacement for the reference's atomicAdd
     work queues (SURVEY.md §2.3 P3 'compaction via sort/prefix-sum'):
@@ -101,8 +102,29 @@ def compact_paths(state: PathState) -> PathState:
     occupancy decay (4096 -> 22 live lanes by wave 20 on the indoor scene)
     stops costing full-width traversals.  RNG parity is unaffected — each
     path carries its own seed stream and consumption is order-independent
-    across lanes."""
-    perm = jnp.argsort((~state.alive).astype(jnp.int32), stable=True)
+    across lanes.
+
+    With ``coherence`` the live prefix is additionally ordered by direction
+    octant and a coarse origin cell, so packet-traversal blocks see rays
+    whose BVH subtrees overlap — the wavefront analog of ray re-binning."""
+    if coherence:
+        d = state.direction
+        octant = (
+            (d[:, 0] >= 0).astype(jnp.int32)
+            + 2 * (d[:, 1] >= 0).astype(jnp.int32)
+            + 4 * (d[:, 2] >= 0).astype(jnp.int32)
+        )
+        # 4x4x4 origin grid over a +-16 world box (scene-scale coarse bins)
+        cell = jnp.clip(
+            ((state.origin + jnp.float32(16.0)) * jnp.float32(4.0 / 32.0))
+            .astype(jnp.int32), 0, 3
+        )
+        cell_id = cell[:, 0] + 4 * cell[:, 1] + 16 * cell[:, 2]
+        key = octant * 64 + cell_id
+        key = jnp.where(state.alive, key, jnp.int32(1 << 20))
+    else:
+        key = (~state.alive).astype(jnp.int32)
+    perm = jnp.argsort(key, stable=True)
     return jax.tree.map(lambda x: jnp.take(x, perm, axis=0), state)
 
 
@@ -444,6 +466,13 @@ def render_sample(scene: RenderScene, cfg: RenderConfig, vp: ViewPlane,
         if cfg.compact:
             s = compact_paths(s)
         return bounce_step(scene, cfg, s)
+
+    if cfg.remat:
+        # Rematerialize per wave: reverse-mode memory drops from
+        # O(max_bounces * state) residuals to O(state) per wave at the cost
+        # of recomputing each wave's forward in the backward sweep
+        # (jax.checkpoint; SURVEY.md HBM guidance).
+        wave = jax.checkpoint(wave)
 
     if cfg.max_bounces is None:
         def cond(carry):

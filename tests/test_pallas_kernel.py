@@ -9,7 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from surf_tpu.accel.pallas_traverse import traverse_pallas, _pack_records
+from surf_tpu.accel.pallas_traverse import traverse_pallas
+from surf_tpu.accel.traverse import pack_records_np
 from surf_tpu.accel.traverse import traverse
 from surf_tpu.scene import builtin
 from surf_tpu.scene.compile import HostCompiled
@@ -31,9 +32,9 @@ def _rays(n, seed=0):
 
 
 def test_pack_records_layout():
-    f = [jnp.arange(10, dtype=jnp.float32) + i for i in range(6)]
-    i = [jnp.arange(10, dtype=jnp.int32) * (k + 1) for k in range(3)]
-    packed = np.asarray(_pack_records(f, i))
+    f = [np.arange(10, dtype=np.float32) + i for i in range(6)]
+    i = [np.arange(10, dtype=np.int32) * (k + 1) for k in range(3)]
+    packed = pack_records_np(f, i)
     assert packed.shape[1] == 128 and packed.shape[0] % 8 == 0
     # record 9 -> row 1, lanes 16..31
     assert packed[1, 16] == np.float32(9.0)  # f32 col 0 of record 9
