@@ -72,7 +72,7 @@ def run(cfg: AppConfig) -> dict:
         host.static, cfg.width, cfg.height, cfg.spp,
         use_defocus=cam.defocus_angle != 0.0,
         max_bounces=cfg.max_bounces,
-    )
+    )._replace(compact=cfg.compact)
 
     if cfg.resume and cfg.checkpoint:
         acc = Accumulator.load(cfg.checkpoint)
@@ -100,6 +100,7 @@ def run(cfg: AppConfig) -> dict:
             # Scene motion invalidates the accumulator (main.cpp:411-419).
             acc.clear()
 
+        extra = {}
         if mesh is not None:
             from ..dist import render_frame_sharded
 
@@ -107,6 +108,14 @@ def run(cfg: AppConfig) -> dict:
                 host.render_scene, rcfg, cam_params,
                 jnp.uint32(acc.total_samples), mesh,
             )
+        elif cfg.wave_stats:
+            from ..wavefront.integrator import render_frame_instrumented
+
+            radiance, stats = render_frame_instrumented(
+                host.render_scene, rcfg, cam_params,
+                jnp.uint32(acc.total_samples),
+            )
+            extra = {k: float(np.asarray(v)) for k, v in stats.items()}
         else:
             radiance = render_frame_jit(
                 host.render_scene, rcfg, cam_params,
@@ -114,8 +123,11 @@ def run(cfg: AppConfig) -> dict:
             )
         radiance = np.asarray(jax.block_until_ready(radiance))
         acc.add_frame(radiance, cfg.spp)
-        m = log.tick(cfg.spp, acc.total_samples, acc.energy())
+        m = log.tick(cfg.spp, acc.total_samples, acc.energy(), **extra)
         print(m.format_line())
+        if extra:
+            print(f"  waves={extra['waves']:.0f} occupancy={extra['occupancy']:.3f} "
+                  f"deferred={extra['deferred']:.0f}")
 
     if cfg.checkpoint and not cfg.resume:
         acc.save(cfg.checkpoint)
@@ -149,6 +161,8 @@ def main(argv=None) -> int:
     p.add_argument("--shard", action="store_true")
     p.add_argument("--output", default=None)
     p.add_argument("--metrics-jsonl", default=None)
+    p.add_argument("--wave-stats", action="store_true")
+    p.add_argument("--compact", action="store_true")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--resume", action="store_true")
     args = p.parse_args(argv)
@@ -163,7 +177,8 @@ def main(argv=None) -> int:
             focal_length=args.focal_length, defocus_angle=args.defocus_angle,
             backend=args.backend, shard=args.shard, output=args.output,
             metrics_jsonl=args.metrics_jsonl, checkpoint=args.checkpoint,
-            resume=args.resume,
+            resume=args.resume, wave_stats=args.wave_stats,
+            compact=args.compact,
         )
     run(cfg)
     return 0

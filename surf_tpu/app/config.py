@@ -31,6 +31,8 @@ class AppConfig:
     resume: bool = False
     shard: bool = False            # shard lanes over all visible devices
     dt: float = 1.0 / 60.0         # animation time step per frame
+    wave_stats: bool = False       # per-frame wavefront stats (waves/occupancy)
+    compact: bool = False          # stream compaction each wave
 
     @classmethod
     def from_file(cls, path: str) -> "AppConfig":

@@ -529,3 +529,79 @@ def render_frame(scene: RenderScene, cfg: RenderConfig, cam: CameraParams,
 def render_frame_jit(scene: RenderScene, cfg: RenderConfig, cam: CameraParams,
                      total_samples: jnp.ndarray):
     return render_frame(scene, cfg, cam, total_samples)
+
+
+def render_sample_instrumented(scene: RenderScene, cfg: RenderConfig,
+                               vp: ViewPlane, seed, px, py):
+    """render_sample variant that also reports wavefront statistics
+    (SURVEY.md §5.5: waves/sample, queue occupancy, deferral):
+    returns (seed, energy, stats) with stats = {waves, lane_steps,
+    deferred} — lane_steps is the occupancy integral (sum of live lanes
+    over waves) and deferred counts paths still alive at the wave cap (the
+    analog of the reference's cross-frame deferred batches,
+    renderer.cpp:1101-1104)."""
+    seed, origin, direction = ray_generation(cfg, vp, seed, px, py)
+    n = seed.shape[0]
+    state = PathState(
+        origin=origin, direction=direction, seed=seed,
+        transmission=jnp.ones((n, 3), jnp.float32),
+        energy=jnp.zeros((n, 3), jnp.float32),
+        last_specular=jnp.ones(n, bool), in_medium=jnp.zeros(n, bool),
+        alive=jnp.ones(n, bool), pixel=jnp.arange(n, dtype=jnp.int32),
+    )
+
+    limit = cfg.wave_limit if cfg.max_bounces is None else cfg.max_bounces
+
+    def cond(carry):
+        i, s, _ = carry
+        return jnp.any(s.alive) & (i < limit)
+
+    def body(carry):
+        i, s, lane_steps = carry
+        lane_steps = lane_steps + jnp.sum(s.alive.astype(jnp.int32))
+        if cfg.compact:
+            s = compact_paths(s)
+        return i + 1, bounce_step(scene, cfg, s), lane_steps
+
+    waves, state, lane_steps = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), state, jnp.int32(0))
+    )
+    deferred = jnp.sum(state.alive.astype(jnp.int32))
+    if cfg.compact:
+        order = jnp.argsort(state.pixel)
+        seed_out = jnp.take(state.seed, order)
+        energy = jnp.take(state.energy, order, axis=0)
+    else:
+        seed_out, energy = state.seed, state.energy
+    stats = dict(waves=waves, lane_steps=lane_steps, deferred=deferred)
+    return seed_out, energy, stats
+
+
+@partial(jax.jit, static_argnums=(1,))
+def render_frame_instrumented(scene: RenderScene, cfg: RenderConfig,
+                              cam: CameraParams, total_samples: jnp.ndarray):
+    """One frame + aggregated wavefront stats dict."""
+    vp = view_plane_jnp(cam, cfg.width, cfg.height)
+    n = cfg.width * cfg.height
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    px = (lane % jnp.uint32(cfg.width)).astype(jnp.int32)
+    py = (lane // jnp.uint32(cfg.width)).astype(jnp.int32)
+    seed0 = rng.pixel_seed(lane, total_samples)
+
+    def body(_, carry):
+        seed, acc, waves, steps, deferred = carry
+        seed, energy, st = render_sample_instrumented(scene, cfg, vp, seed, px, py)
+        return (seed, acc + energy, waves + st["waves"],
+                steps + st["lane_steps"], deferred + st["deferred"])
+
+    _, acc, waves, steps, deferred = jax.lax.fori_loop(
+        0, cfg.spp, body,
+        (seed0, jnp.zeros((n, 3), jnp.float32), jnp.int32(0), jnp.int32(0),
+         jnp.int32(0)),
+    )
+    stats = dict(
+        waves=waves, lane_steps=steps, deferred=deferred,
+        occupancy=steps.astype(jnp.float32)
+        / jnp.maximum(waves.astype(jnp.float32) * n, 1.0),
+    )
+    return acc.reshape(cfg.height, cfg.width, 3), stats
