@@ -59,8 +59,9 @@ class Scene:
 
     def update(self, delta_time: float) -> None:
         """Animate instance 3 (rotation about WORLD_UP, scene.cpp:53-59) and
-        refit the TLAS over the refreshed instance bounds."""
-        inst = self.instances[3]
+        refit the TLAS over the refreshed instance bounds.  Scenes with
+        fewer instances animate their last instance instead."""
+        inst = self.instances[min(3, len(self.instances) - 1)]
         inst.set_transform(
             tf.rotate(inst.transform, 1.0 * float(delta_time), [0.0, 1.0, 0.0])
         )
