@@ -60,7 +60,50 @@ def run_bench(width, height, spp, max_bounces, use_pallas, frames=3):
     return rays_per_s, dt, energy
 
 
+class _Timeout(Exception):
+    pass
+
+
+def _alarm(seconds):
+    import signal
+
+    def handler(signum, frame):
+        raise _Timeout(f"stage exceeded {seconds}s")
+
+    signal.signal(signal.SIGALRM, handler)
+    signal.alarm(seconds)
+
+
+def _probe_device(seconds=90) -> bool:
+    """True when the default backend answers a trivial computation quickly.
+    The remote-TPU tunnel can wedge for minutes after a kernel fault; a dead
+    probe routes the bench to the CPU fallback instead of hanging."""
+    import signal
+
+    try:
+        _alarm(seconds)
+        import jax
+        import jax.numpy as jnp
+
+        (jnp.arange(4) + 1).block_until_ready()
+        return True
+    except (_Timeout, Exception):
+        return False
+    finally:
+        signal.alarm(0)
+
+
 def main():
+    import signal
+
+    healthy = _probe_device()
+    if not healthy:
+        print("device probe failed; falling back to CPU backend",
+              file=sys.stderr)
+        from surf_tpu.utils import force_cpu
+
+        force_cpu()
+
     import jax
 
     backend = jax.default_backend()
@@ -71,10 +114,19 @@ def main():
              use_pallas=backend != "cpu"),
         dict(width=128, height=128, spp=2, max_bounces=24, use_pallas=False),
     ]
+    if backend == "cpu":
+        attempts = [
+            dict(width=128, height=128, spp=2, max_bounces=24,
+                 use_pallas=False),
+            dict(width=64, height=64, spp=1, max_bounces=16,
+                 use_pallas=False),
+        ]
     last_err = None
-    for att in attempts:
+    for i, att in enumerate(attempts):
         try:
+            _alarm(1500 if i == 0 else 600)
             rays_per_s, dt, energy = run_bench(**att)
+            signal.alarm(0)
             print(json.dumps({
                 "metric": "rays_per_s_chip",
                 "value": rays_per_s,
