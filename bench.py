@@ -77,20 +77,22 @@ def _alarm(seconds):
 def _probe_device(seconds=90) -> bool:
     """True when the default backend answers a trivial computation quickly.
     The remote-TPU tunnel can wedge for minutes after a kernel fault; a dead
-    probe routes the bench to the CPU fallback instead of hanging."""
-    import signal
+    probe routes the bench to the CPU fallback instead of hanging.  Runs in
+    a subprocess so this process never initializes the (possibly wedged)
+    backend before the fallback decision."""
+    import subprocess
 
     try:
-        _alarm(seconds)
-        import jax
-        import jax.numpy as jnp
-
-        (jnp.arange(4) + 1).block_until_ready()
-        return True
-    except (_Timeout, Exception):
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import warnings; warnings.filterwarnings('ignore');"
+             "import jax, jax.numpy as jnp;"
+             "(jnp.arange(4) + 1).block_until_ready(); print('OK')"],
+            capture_output=True, timeout=seconds, text=True,
+        )
+        return "OK" in out.stdout
+    except Exception:
         return False
-    finally:
-        signal.alarm(0)
 
 
 def main():
