@@ -80,9 +80,13 @@ def _probe_device(seconds=90) -> bool:
     probe routes the bench to the CPU fallback instead of hanging.  Runs in
     a subprocess so this process never initializes the (possibly wedged)
     backend before the fallback decision."""
+    import signal
     import subprocess
 
     try:
+        # Belt and braces: a killed child stuck in uninterruptible IO can
+        # still hang subprocess.run's reaping — the alarm covers that too.
+        _alarm(seconds + 30)
         out = subprocess.run(
             [sys.executable, "-c",
              "import warnings; warnings.filterwarnings('ignore');"
@@ -91,14 +95,29 @@ def _probe_device(seconds=90) -> bool:
             capture_output=True, timeout=seconds, text=True,
         )
         return "OK" in out.stdout
-    except Exception:
+    except (Exception, _Timeout):
         return False
+    finally:
+        signal.alarm(0)
 
 
 def main():
+    import os
     import signal
 
     healthy = _probe_device()
+    if not healthy and os.environ.get("PALLAS_AXON_POOL_IPS") and \
+            not os.environ.get("SURF_BENCH_CPU_REEXEC"):
+        # A wedged remote-TPU tunnel blocks *interpreter startup* via the
+        # sitecustomize PJRT registration; re-exec without the axon env so
+        # the CPU fallback actually runs.
+        print("device probe failed; re-exec on CPU-only interpreter",
+              file=sys.stderr)
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["SURF_BENCH_CPU_REEXEC"] = "1"
+        os.execve(sys.executable, [sys.executable, __file__], env)
     if not healthy:
         print("device probe failed; falling back to CPU backend",
               file=sys.stderr)
