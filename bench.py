@@ -136,11 +136,13 @@ def main():
         dict(width=128, height=128, spp=2, max_bounces=24, use_pallas=False),
     ]
     if backend == "cpu":
+        # XLA CPU compiles of the full render are minutes-slow; keep the
+        # emergency fallback tiny (it only certifies liveness, not perf).
         attempts = [
-            dict(width=128, height=128, spp=2, max_bounces=24,
-                 use_pallas=False),
             dict(width=64, height=64, spp=1, max_bounces=16,
-                 use_pallas=False),
+                 use_pallas=False, frames=1),
+            dict(width=32, height=32, spp=1, max_bounces=8,
+                 use_pallas=False, frames=1),
         ]
     last_err = None
     for i, att in enumerate(attempts):
