@@ -69,45 +69,26 @@ def _fetch_record(ref, idx):
     return pltpu.roll(row, -shift, axis=1)
 
 
-def _traverse_kernel(
-    # ray block refs, each (1, 8, 128)
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref, act_ref,
-    # packed scene refs (whole arrays in VMEM)
-    nodes_ref,   # [ceil(D/8), 128] f32: per 16-lane group
-                 #   [lox,loy,loz,hix,hiy,hiz, first(i32), count(i32), skip(i32), pad...]
-    tris_ref,    # [ceil(T/8), 128] f32: per group [v0 xyz, e1 xyz, e2 xyz, pad...]
-    # outputs (1, 8, 128)
-    t_out, prim_out, u_out, v_out,
-    *, any_hit: bool, n_nodes: int,
+def _walk_block(
+    ox, oy, oz, dx, dy, dz, tmax, act,
+    nodes_ref, tris_ref, *, any_hit: bool, n_nodes: int,
 ):
-    ox = ox_ref[0]
-    oy = oy_ref[0]
-    oz = oz_ref[0]
-    dx = dx_ref[0]
-    dy = dy_ref[0]
-    dz = dz_ref[0]
-    act = act_ref[0] != 0
+    """Shared packet-walk body over one (8,128) ray block; returns
+    (best_t, best_p, best_u, best_v)."""
     inv_dx = jnp.float32(1.0) / dx
     inv_dy = jnp.float32(1.0) / dy
     inv_dz = jnp.float32(1.0) / dz
 
-    # NOTE: the live mask is re-derived from best_p each step rather than
-    # carried — Mosaic cannot legalize vector<i1> loop carries.  The while
-    # condition is scalar-only (pure dfs bound): early exits are expressed
-    # by jumping dfs to n_nodes inside the body, and termination is
-    # unconditionally guaranteed by the strict-progress guard below.
     init = (
-        # packets with no active lanes skip the walk entirely
         jnp.where(jnp.any(act), jnp.int32(0), jnp.int32(n_nodes)),
-        tmax_ref[0],                           # best_t
-        jnp.full((SUB, LANE), -1, jnp.int32),  # best prim
-        jnp.zeros((SUB, LANE), jnp.float32),   # best u
-        jnp.zeros((SUB, LANE), jnp.float32),   # best v
+        tmax,
+        jnp.full((SUB, LANE), -1, jnp.int32),
+        jnp.zeros((SUB, LANE), jnp.float32),
+        jnp.zeros((SUB, LANE), jnp.float32),
     )
 
     def live_mask(best_p):
         if any_hit:
-            # intersectAny early-out: occluded lanes stop participating.
             return act & (best_p < 0)
         return act
 
@@ -117,7 +98,6 @@ def _traverse_kernel(
     def body(c):
         dfs, best_t, best_p, best_u, best_v = c
         live = live_mask(best_p)
-
         rec = _fetch_record(nodes_ref, dfs)
         rec_i = pltpu.bitcast(rec, jnp.int32)
         lo_x = rec[0, 0]
@@ -130,21 +110,21 @@ def _traverse_kernel(
         leaf_count = rec_i[0, 7]
         skip = rec_i[0, 8]
 
-        # slab test vs current best_t (bvh.cpp:40-66)
         tx_n = (lo_x - ox) * inv_dx
         tx_f = (hi_x - ox) * inv_dx
         tmin = _c_min(tx_n, tx_f)
-        tmax = _c_max(tx_n, tx_f)
+        tmax_ = _c_max(tx_n, tx_f)
         ty_n = (lo_y - oy) * inv_dy
         ty_f = (hi_y - oy) * inv_dy
         tmin = _c_max(tmin, _c_min(ty_n, ty_f))
-        tmax = _c_min(tmax, _c_max(ty_n, ty_f))
+        tmax_ = _c_min(tmax_, _c_max(ty_n, ty_f))
         tz_n = (lo_z - oz) * inv_dz
         tz_f = (hi_z - oz) * inv_dz
         tmin = _c_max(tmin, _c_min(tz_n, tz_f))
-        tmax = _c_min(tmax, _c_max(tz_n, tz_f))
+        tmax_ = _c_min(tmax_, _c_max(tz_n, tz_f))
         box_hit = (
-            (tmax >= tmin) & (tmin < best_t) & (tmax > jnp.float32(0.0)) & live
+            (tmax_ >= tmin) & (tmin < best_t)
+            & (tmax_ > jnp.float32(0.0)) & live
         )
         packet_hit = jnp.any(box_hit)
         is_leaf = leaf_count > 0
@@ -163,8 +143,6 @@ def _traverse_kernel(
             e2x = tri[0, 6]
             e2y = tri[0, 7]
             e2z = tri[0, 8]
-
-            # Möller–Trumbore (mesh.cpp:23-62), component form
             hx = dy * e2z - dz * e2y
             hy = dz * e2x - dx * e2z
             hz = dx * e2y - dy * e2x
@@ -192,10 +170,6 @@ def _traverse_kernel(
             best_v = jnp.where(hit, v, best_v)
             return best_t, best_p, best_u, best_v
 
-        # Dynamic trip count, zero when the packet misses or the node is
-        # internal (a lax.cond around this miscompiled in Mosaic — the
-        # branch-free form is also cheaper).  Clamped: a corrupted count
-        # must not turn into an unbounded loop on-device.
         n_tris = jnp.clip(
             jnp.where(packet_hit & is_leaf, leaf_count, 0), 0, 256
         )
@@ -205,27 +179,45 @@ def _traverse_kernel(
 
         descend = packet_hit & ~is_leaf
         new_dfs = jnp.where(descend, dfs + 1, skip)
-        # Strict-progress guard: a valid skip link always satisfies
-        # skip > dfs (skip = dfs + subtree size), so forcing monotone
-        # progress never changes a correct walk — but it makes the loop
-        # provably terminating (<= n_nodes iterations) even if a record
-        # read ever returns garbage.  A faulted TPU worker wedges the whole
-        # chip for minutes; this guard converts that failure mode into a
-        # wrong (testable) result instead.
         new_dfs = jnp.maximum(new_dfs, dfs + 1)
         if any_hit:
-            # all active lanes occluded -> stop this packet's walk
             new_dfs = jnp.where(
                 jnp.any(act & (best_p < 0)), new_dfs, jnp.int32(n_nodes)
             )
         return new_dfs, best_t, best_p, best_u, best_v
 
     _, best_t, best_p, best_u, best_v = jax.lax.while_loop(cond, body, init)
+    return best_t, best_p, best_u, best_v
 
-    t_out[0] = best_t
-    prim_out[0] = best_p
-    u_out[0] = best_u
-    v_out[0] = best_v
+
+def _traverse_kernel_multiblock(
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref, act_ref,
+    nodes_ref, tris_ref,
+    t_out, prim_out, u_out, v_out,
+    *, any_hit: bool, n_nodes: int, n_blocks: int,
+):
+    """Variant B: no Pallas grid — all ray blocks live in VMEM and a
+    fori_loop walks them within one kernel invocation (sidesteps the grid
+    pipelining entirely)."""
+    def blk(b, _):
+        bt, bp, bu, bv = _walk_block(
+            ox_ref[b], oy_ref[b], oz_ref[b],
+            dx_ref[b], dy_ref[b], dz_ref[b],
+            tmax_ref[b], act_ref[b] != 0,
+            nodes_ref, tris_ref, any_hit=any_hit, n_nodes=n_nodes,
+        )
+        t_out[b] = bt
+        prim_out[b] = bp
+        u_out[b] = bu
+        v_out[b] = bv
+        return 0
+
+    jax.lax.fori_loop(0, n_blocks, blk, 0)
+
+
+# Max rays per multiblock invocation: 12 (8,128) f32 arrays per block plus
+# the ~6 MB scene tables must fit VMEM.
+MULTIBLOCK_CHUNK = 64 * BLOCK  # 64 blocks = 65536 rays (~3 MB of ray state)
 
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
@@ -268,32 +260,42 @@ def traverse_pallas(
     nodes_packed = arrays.nodes_packed
     tris_packed = arrays.tris_packed
 
-    ray_spec = pl.BlockSpec((1, SUB, LANE), lambda i: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-
-    def full_spec(shape):
-        return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-
-    kernel = functools.partial(
-        _traverse_kernel, any_hit=any_hit, n_nodes=d_nodes
-    )
-    out_shape = [
-        jax.ShapeDtypeStruct((g, SUB, LANE), jnp.float32),  # t
-        jax.ShapeDtypeStruct((g, SUB, LANE), jnp.int32),    # prim
-        jax.ShapeDtypeStruct((g, SUB, LANE), jnp.float32),  # u
-        jax.ShapeDtypeStruct((g, SUB, LANE), jnp.float32),  # v
-    ]
-    t_o, p_o, u_o, v_o = pl.pallas_call(
-        kernel,
-        grid=(g,),
-        in_specs=[ray_spec] * 8 + [
-            full_spec(nodes_packed.shape),
-            full_spec(tris_packed.shape),
-        ],
-        out_specs=[ray_spec] * 4,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(ox, oy, oz, dx, dy, dz, tm, ac, nodes_packed, tris_packed)
+    # Variant B (no Pallas grid): all ray blocks resident in VMEM and
+    # iterated by an in-kernel fori_loop.  Chunked so ray state + the
+    # packed scene stay within VMEM.
+    chunk_blocks = MULTIBLOCK_CHUNK // BLOCK
+    outs_t, outs_p, outs_u, outs_v = [], [], [], []
+    for start in range(0, g, chunk_blocks):
+        end = min(start + chunk_blocks, g)
+        nb = end - start
+        kernel = functools.partial(
+            _traverse_kernel_multiblock, any_hit=any_hit, n_nodes=d_nodes,
+            n_blocks=nb,
+        )
+        out_shape = [
+            jax.ShapeDtypeStruct((nb, SUB, LANE), jnp.float32),  # t
+            jax.ShapeDtypeStruct((nb, SUB, LANE), jnp.int32),    # prim
+            jax.ShapeDtypeStruct((nb, SUB, LANE), jnp.float32),  # u
+            jax.ShapeDtypeStruct((nb, SUB, LANE), jnp.float32),  # v
+        ]
+        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+        t_c, p_c, u_c, v_c = pl.pallas_call(
+            kernel,
+            in_specs=[vmem] * 10,
+            out_specs=[vmem] * 4,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(ox[start:end], oy[start:end], oz[start:end],
+          dx[start:end], dy[start:end], dz[start:end],
+          tm[start:end], ac[start:end], nodes_packed, tris_packed)
+        outs_t.append(t_c)
+        outs_p.append(p_c)
+        outs_u.append(u_c)
+        outs_v.append(v_c)
+    t_o = jnp.concatenate(outs_t) if len(outs_t) > 1 else outs_t[0]
+    p_o = jnp.concatenate(outs_p) if len(outs_p) > 1 else outs_p[0]
+    u_o = jnp.concatenate(outs_u) if len(outs_u) > 1 else outs_u[0]
+    v_o = jnp.concatenate(outs_v) if len(outs_v) > 1 else outs_v[0]
 
     def unprep(x):
         return x.reshape(n_pad)[:n]
