@@ -26,33 +26,47 @@ warnings.filterwarnings("ignore")
 BASELINE_RAYS_PER_S = 2.0e8
 
 
-def run_bench(width, height, spp, max_bounces, use_pallas, frames=3):
+def run_bench(width, height, spp, max_bounces, use_pallas, frames=3,
+              spp_chunk=1):
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from surf_tpu.scene import builtin
     from surf_tpu.scene.camera import CameraParams
     from surf_tpu.scene.compile import HostCompiled
-    from surf_tpu.wavefront import RenderConfig, render_frame_jit
+    from surf_tpu.wavefront import RenderConfig
+    from surf_tpu.wavefront.integrator import (
+        initial_seeds,
+        render_frame_seeded,
+    )
 
     host = HostCompiled(builtin.make_indoor_scene())
     scene = jax.device_put(host.render_scene)
     cam = builtin.make_indoor_camera(width, height)
     cp = CameraParams.from_camera(cam)
+    # Chunk spp at host level: the remote tunnel kills multi-minute
+    # single dispatches, and chunking keeps RNG streams identical.
+    assert spp % spp_chunk == 0
     cfg = RenderConfig.for_scene(
-        host.static, width, height, spp, use_defocus=True,
+        host.static, width, height, spp_chunk, use_defocus=True,
         use_pallas=use_pallas,
     )._replace(max_bounces=max_bounces)
 
-    # compile + warmup
-    img = jax.block_until_ready(render_frame_jit(scene, cfg, cp, jnp.uint32(0)))
+    def frame(total_samples):
+        seed = initial_seeds(cfg, total_samples)
+        acc = None
+        for _ in range(spp // spp_chunk):
+            part, seed = render_frame_seeded(scene, cfg, cp, seed)
+            acc = part if acc is None else acc + part
+        return acc
+
+    img = jax.block_until_ready(frame(0))  # compile + warmup
     t0 = time.perf_counter()
     for i in range(frames):
-        img = render_frame_jit(scene, cfg, cp, jnp.uint32((i + 1) * spp))
+        img = frame((i + 1) * spp)
     jax.block_until_ready(img)
     dt = (time.perf_counter() - t0) / frames
-
-    import numpy as np
 
     energy = float(np.asarray(img).sum()) / spp
     assert np.isfinite(energy) and energy > 0, "render produced bad energy"
@@ -129,11 +143,12 @@ def main():
 
     backend = jax.default_backend()
     attempts = [
-        dict(width=512, height=512, spp=16, max_bounces=48,
-             use_pallas=backend != "cpu"),
+        dict(width=512, height=512, spp=16, max_bounces=32,
+             use_pallas=backend != "cpu", frames=2),
         dict(width=256, height=256, spp=4, max_bounces=32,
              use_pallas=backend != "cpu"),
-        dict(width=128, height=128, spp=2, max_bounces=24, use_pallas=False),
+        dict(width=128, height=128, spp=2, max_bounces=16,
+             use_pallas=backend != "cpu", frames=2),
     ]
     if backend == "cpu":
         # XLA CPU compiles of the full render are minutes-slow; keep the

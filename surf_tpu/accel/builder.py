@@ -48,7 +48,7 @@ BIN_COUNT = 8
 PLANE_COUNT = BIN_COUNT - 1
 
 
-def _numpy_build(prim_lo, prim_hi, key) -> BVH:
+def _numpy_build(prim_lo, prim_hi, key, min_leaf: int = 1) -> BVH:
     n = len(prim_lo)
     prim_lo = np.asarray(prim_lo, np.float32)
     prim_hi = np.asarray(prim_hi, np.float32)
@@ -78,6 +78,8 @@ def _numpy_build(prim_lo, prim_hi, key) -> BVH:
     with np.errstate(invalid="ignore", over="ignore"):
         while stack:
             node = stack.pop()
+            if count[node] <= min_leaf:
+                continue
             ids = indices[left_first[node]: left_first[node] + count[node]]
             k = key[ids]
             boxes_lo, boxes_hi = prim_lo[ids], prim_hi[ids]
@@ -147,13 +149,19 @@ def _numpy_build(prim_lo, prim_hi, key) -> BVH:
     return BVH(indices, node_lo, node_hi, left_first, count, nodes_used)
 
 
-def build_bvh(prim_lo, prim_hi, key) -> BVH:
-    """Build over per-primitive AABBs with per-primitive binning keys."""
-    out = native.native_build(prim_lo, prim_hi, key)
+def build_bvh(prim_lo, prim_hi, key, min_leaf: int = 1) -> BVH:
+    """Build over per-primitive AABBs with per-primitive binning keys.
+
+    ``min_leaf`` stops subdivision at/below that primitive count: the
+    reference's pure-SAH termination yields ~1.1-tri leaves (very deep
+    trees); packet traversal on TPU prefers shallower trees where box and
+    triangle tests cost the same vector op (min_leaf=4 halves node visits
+    on the indoor scene)."""
+    out = native.native_build(prim_lo, prim_hi, key, min_leaf)
     if out is not None:
         indices, node_lo, node_hi, left_first, count, used = out
         return BVH(indices, node_lo, node_hi, left_first, count, used)
-    return _numpy_build(prim_lo, prim_hi, key)
+    return _numpy_build(prim_lo, prim_hi, key, min_leaf)
 
 
 def triangle_bounds(v0, v1, v2):
@@ -162,11 +170,11 @@ def triangle_bounds(v0, v1, v2):
     return lo, hi
 
 
-def build_blas(v0, v1, v2) -> BVH:
+def build_blas(v0, v1, v2, min_leaf: int = 1) -> BVH:
     """BLAS over a triangle soup; bins by the 0.333f centroid (mesh.cpp:20)."""
     lo, hi = triangle_bounds(v0, v1, v2)
     centroid = ((np.asarray(v0, np.float32) + v1 + v2) * np.float32(0.333)).astype(np.float32)
-    return build_bvh(lo, hi, centroid)
+    return build_bvh(lo, hi, centroid, min_leaf)
 
 
 def build_tlas(inst_lo, inst_hi) -> BVH:

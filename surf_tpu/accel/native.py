@@ -59,7 +59,8 @@ def get_lib() -> ctypes.CDLL | None:
         f32p = ctypes.POINTER(ctypes.c_float)
         lib.surf_bvh_build.restype = ctypes.c_uint32
         lib.surf_bvh_build.argtypes = [f32p, f32p, f32p, ctypes.c_uint32,
-                                       u32p, f32p, f32p, u32p, u32p]
+                                       u32p, f32p, f32p, u32p, u32p,
+                                       ctypes.c_uint32]
         lib.surf_bvh_refit.restype = None
         lib.surf_bvh_refit.argtypes = [f32p, f32p, u32p, f32p, f32p,
                                        u32p, u32p, ctypes.c_uint32]
@@ -75,7 +76,7 @@ def _up(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
 
 
-def native_build(prim_lo, prim_hi, key):
+def native_build(prim_lo, prim_hi, key, min_leaf: int = 1):
     """Returns (indices, node_lo, node_hi, left_first, count, nodes_used)
     or None when the native library is unavailable."""
     lib = get_lib()
@@ -95,6 +96,7 @@ def native_build(prim_lo, prim_hi, key):
     used = lib.surf_bvh_build(
         _fp(prim_lo), _fp(prim_hi), _fp(key), n,
         _up(indices), _fp(node_lo), _fp(node_hi), _up(left_first), _up(count),
+        min_leaf,
     )
     return indices, node_lo, node_hi, left_first, count, int(used)
 

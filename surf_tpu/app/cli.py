@@ -116,6 +116,19 @@ def run(cfg: AppConfig) -> dict:
                 jnp.uint32(acc.total_samples),
             )
             extra = {k: float(np.asarray(v)) for k, v in stats.items()}
+        elif cfg.spp > 2 and jax.default_backend() != "cpu":
+            # Chunk spp into short device dispatches (the remote tunnel
+            # kills multi-minute executions); bit-identical RNG streams.
+            from ..wavefront.integrator import initial_seeds, render_frame_seeded
+
+            rcfg1 = rcfg._replace(spp=1)
+            seed = initial_seeds(rcfg1, jnp.uint32(acc.total_samples))
+            radiance = None
+            for _ in range(cfg.spp):
+                part, seed = render_frame_seeded(
+                    host.render_scene, rcfg1, cam_params, seed
+                )
+                radiance = part if radiance is None else radiance + part
         else:
             radiance = render_frame_jit(
                 host.render_scene, rcfg, cam_params,

@@ -67,6 +67,7 @@ struct Builder {
   float* node_hi;         // [2n,3]
   uint32_t* left_first;   // [2n]
   uint32_t* count;        // [2n]
+  uint32_t min_leaf = 1;  // stop subdividing at/below this count
   uint32_t nodes_used = 2;
 
   Box prim_box(uint32_t p) const {
@@ -183,6 +184,7 @@ struct Builder {
     while (!stack.empty()) {
       uint32_t node = stack.back();
       stack.pop_back();
+      if (count[node] <= min_leaf) continue;
 
       float cost;
       uint32_t axis;
@@ -221,8 +223,9 @@ extern "C" {
 uint32_t surf_bvh_build(const float* prim_lo, const float* prim_hi,
                         const float* key, uint32_t n, uint32_t* indices,
                         float* node_lo, float* node_hi, uint32_t* left_first,
-                        uint32_t* count) {
-  Builder b{prim_lo, prim_hi, key, n, indices, node_lo, node_hi, left_first, count};
+                        uint32_t* count, uint32_t min_leaf) {
+  Builder b{prim_lo, prim_hi, key, n, indices, node_lo, node_hi, left_first,
+            count, min_leaf};
   for (uint32_t i = 0; i < n; i++) indices[i] = i;
   std::memset(left_first, 0, sizeof(uint32_t) * 2 * n);
   std::memset(count, 0, sizeof(uint32_t) * 2 * n);

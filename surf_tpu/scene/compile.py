@@ -111,8 +111,9 @@ class HostCompiled:
     refit — the analog of GPUScene::update's instance+TLAS re-upload,
     scene.cpp:267-282)."""
 
-    def __init__(self, scene: Scene):
+    def __init__(self, scene: Scene, render_min_leaf: int = 4):
         self.scene = scene
+        self.render_min_leaf = render_min_leaf
         mats, inst_material = _dedupe_materials(scene)
         self.materials = build_material_table(mats)
         self.inst_material = inst_material
@@ -144,7 +145,10 @@ class HostCompiled:
         self._seen_version = scene.version
 
     def _rebuild_bvh(self):
-        self.bvh = builder.build_blas(self.samp_v0, self.samp_v1, self.samp_v2)
+        self.bvh = builder.build_blas(
+            self.samp_v0, self.samp_v1, self.samp_v2,
+            min_leaf=self.render_min_leaf,
+        )
         self._refresh_device()
 
     def _refit_bvh(self):

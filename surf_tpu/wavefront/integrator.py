@@ -507,22 +507,46 @@ def render_frame(scene: RenderScene, cfg: RenderConfig, cam: CameraParams,
     """One frame of cfg.spp samples per pixel. Returns radiance sums
     [H, W, 3] (divide by the accumulated sample count outside — the
     wavefront_finalize analog)."""
+    n = cfg.width * cfg.height
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    seed0 = rng.pixel_seed(lane, total_samples)
+    acc, _ = _render_samples_from_seed(scene, cfg, cam, seed0)
+    return acc
+
+
+def _render_samples_from_seed(scene, cfg: RenderConfig, cam, seed0):
     vp = view_plane_jnp(cam, cfg.width, cfg.height)
     n = cfg.width * cfg.height
     lane = jnp.arange(n, dtype=jnp.uint32)
     px = (lane % jnp.uint32(cfg.width)).astype(jnp.int32)
     py = (lane // jnp.uint32(cfg.width)).astype(jnp.int32)
-    seed0 = rng.pixel_seed(lane, total_samples)
 
     def body(_, carry):
         seed, acc = carry
         seed, energy = render_sample(scene, cfg, vp, seed, px, py)
         return seed, acc + energy
 
-    _, acc = jax.lax.fori_loop(
+    seed, acc = jax.lax.fori_loop(
         0, cfg.spp, body, (seed0, jnp.zeros((n, 3), jnp.float32))
     )
-    return acc.reshape(cfg.height, cfg.width, 3)
+    return acc.reshape(cfg.height, cfg.width, 3), seed
+
+
+@partial(jax.jit, static_argnums=(1,))
+def render_frame_seeded(scene: RenderScene, cfg: RenderConfig,
+                        cam: CameraParams, seed0: jnp.ndarray):
+    """Render cfg.spp samples continuing the given per-pixel seed streams;
+    returns (radiance_sums [H,W,3], final seeds).  Lets the host chunk a
+    large spp budget into several short device dispatches — the remote-TPU
+    tunnel kills executions that run for minutes, so one giant
+    spp-16 x 48-bounce dispatch is exactly the wrong shape — while keeping
+    the RNG streams (and thus the image) bit-identical to a single call."""
+    return _render_samples_from_seed(scene, cfg, cam, seed0)
+
+
+def initial_seeds(cfg: RenderConfig, total_samples) -> jnp.ndarray:
+    n = cfg.width * cfg.height
+    return rng.pixel_seed(jnp.arange(n, dtype=jnp.uint32), total_samples)
 
 
 @partial(jax.jit, static_argnums=(1,))

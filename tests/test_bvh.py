@@ -11,8 +11,23 @@ from surf_tpu.accel.traverse import (
     TraceArrays,
     build_skiplinks,
     bvh_max_depth,
+    pack_trace_tables,
     traverse,
 )
+
+
+def _trace_arrays(v0, v1, v2, bvh):
+    boxes, meta = build_skiplinks(bvh)
+    perm = bvh.indices.astype(np.int64)
+    tv0, tv1, tv2 = v0[perm], v1[perm], v2[perm]
+    nodes_packed, tris_packed = pack_trace_tables(tv0, tv1, tv2, boxes, meta)
+    return TraceArrays(
+        tri_v0=jnp.asarray(tv0), tri_v1=jnp.asarray(tv1),
+        tri_v2=jnp.asarray(tv2),
+        node_boxes=jnp.asarray(boxes), node_meta=jnp.asarray(meta),
+        nodes_packed=jnp.asarray(nodes_packed),
+        tris_packed=jnp.asarray(tris_packed),
+    ), perm
 from surf_tpu.scene.mesh import make_cube, make_icosphere
 
 
@@ -67,13 +82,7 @@ def test_traversal_matches_brute_force(mesh_fn):
     v0, v1, v2 = mesh.v0, mesh.v1, mesh.v2
     bvh = builder.build_blas(v0, v1, v2)
     _validate_bvh(bvh, len(v0))
-    boxes, meta = build_skiplinks(bvh)
-    perm = bvh.indices.astype(np.int64)
-    arrays = TraceArrays(
-        tri_v0=jnp.asarray(v0[perm]), tri_v1=jnp.asarray(v1[perm]),
-        tri_v2=jnp.asarray(v2[perm]),
-        node_boxes=jnp.asarray(boxes), node_meta=jnp.asarray(meta),
-    )
+    arrays, perm = _trace_arrays(v0, v1, v2, bvh)
     depth = bvh_max_depth(bvh) + 2
 
     rng = np.random.default_rng(1)
@@ -154,11 +163,7 @@ def test_single_triangle_bvh():
     v2 = np.array([[0, 1, 0]], np.float32)
     bvh = builder.build_blas(v0, v1, v2)
     assert bvh.count[0] == 1  # root is a leaf
-    boxes, meta = build_skiplinks(bvh)
-    arrays = TraceArrays(
-        tri_v0=jnp.asarray(v0), tri_v1=jnp.asarray(v1), tri_v2=jnp.asarray(v2),
-        node_boxes=jnp.asarray(boxes), node_meta=jnp.asarray(meta),
-    )
+    arrays, _ = _trace_arrays(v0, v1, v2, bvh)
     o = jnp.asarray([[0.2, 0.2, -1.0], [5.0, 5.0, -1.0]])
     d = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
     hit = traverse(arrays, o, d, jnp.full(2, 1e30, jnp.float32),
