@@ -401,15 +401,27 @@ class OracleRenderer:
         return seed, energy
 
     # -------------------------------------------------------------- frames
-    def render(self, width: int, height: int, spp: int, total_samples: int = 0):
-        """One frame of spp samples; returns radiance sums [H, W, 3]."""
-        n = width * height
-        py, px = np.divmod(np.arange(n, dtype=np.int64), width)
-        # row-major pixelIndex = x + y * width (renderer.cpp:167)
-        seed = R.pixel_seed(np.arange(n), total_samples)
-        out = np.zeros((n, 3), np.float32)
-        for _ in range(spp):
-            seed, o, d = self._primary_rays(seed, px, py)
-            seed, e = self._trace(seed, o, d)
-            out += e
-        return out.reshape(height, width, 3)
+    def render(self, width: int, height: int, spp: int, total_samples: int = 0,
+               rows_per_batch: int | None = None):
+        """One frame of spp samples; returns radiance sums [H, W, 3].
+
+        ``rows_per_batch`` bounds memory at large resolutions (the brute
+        force intersection builds [lanes, tri_chunk] temporaries)."""
+        if rows_per_batch is None:
+            rows_per_batch = max(1, (1 << 22) // (width * self.tri_chunk) * 64)
+            rows_per_batch = min(height, max(8, rows_per_batch))
+        out = np.zeros((height, width, 3), np.float32)
+        for y0 in range(0, height, rows_per_batch):
+            y1 = min(y0 + rows_per_batch, height)
+            n = (y1 - y0) * width
+            lane = np.arange(y0 * width, y1 * width, dtype=np.int64)
+            py, px = np.divmod(lane, width)
+            # row-major pixelIndex = x + y * width (renderer.cpp:167)
+            seed = R.pixel_seed(lane, total_samples)
+            acc = np.zeros((n, 3), np.float32)
+            for _ in range(spp):
+                seed, o, d = self._primary_rays(seed, px, py)
+                seed, e = self._trace(seed, o, d)
+                acc += e
+            out[y0:y1] = acc.reshape(y1 - y0, width, 3)
+        return out
