@@ -1,0 +1,232 @@
+#!/usr/bin/env python
+"""BASELINE.json benchmark-config runner.
+
+  python scripts/run_configs.py 1   # CPU reference gate: 256^2 @ 8 spp box
+                                    # scene, oracle vs wavefront, fixed seed
+  python scripts/run_configs.py 2   # full indoor 512^2 @ 16 spp NEE+RR
+  python scripts/run_configs.py 3   # differentiable pass, FD-validated
+  python scripts/run_configs.py 4   # 1024^2 @ 256 spp, compaction + rebuild
+  python scripts/run_configs.py 5   # sharded render + scaling sweep
+
+Each config prints a PASS/metric summary; images land in ./out_configs/.
+Scale factors: --scale 0.25 shrinks resolutions/spp for quick smoke runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+OUT = "out_configs"
+
+
+def _setup(width, height, scene_name="indoor", min_leaf=4):
+    import jax
+
+    from surf_tpu.scene import builtin
+    from surf_tpu.scene.camera import CameraParams
+    from surf_tpu.scene.compile import HostCompiled
+
+    scene = (builtin.make_indoor_scene() if scene_name == "indoor"
+             else builtin.make_diffuse_box_scene())
+    host = HostCompiled(scene, render_min_leaf=min_leaf)
+    cam = builtin.make_indoor_camera(width, height)
+    return host, cam, CameraParams.from_camera(cam)
+
+
+def _render(host, cam_params, width, height, spp, max_bounces, compact=False,
+            spp_chunk=1, total_samples=0):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from surf_tpu.wavefront import RenderConfig
+    from surf_tpu.wavefront.integrator import initial_seeds, render_frame_seeded
+
+    use_pallas = jax.default_backend() != "cpu"
+    cfg = RenderConfig.for_scene(
+        host.static, width, height, spp_chunk, use_defocus=True,
+        use_pallas=use_pallas,
+    )._replace(max_bounces=max_bounces, compact=compact)
+    scene = jax.device_put(host.render_scene)
+    seed = initial_seeds(cfg, jnp.uint32(total_samples))
+    acc = None
+    for _ in range(spp // spp_chunk):
+        part, seed = render_frame_seeded(scene, cfg, cam_params, seed)
+        acc = part if acc is None else acc + part
+    return np.asarray(jax.block_until_ready(acc))
+
+
+def config1(scale):
+    """CPU reference gate: box scene, oracle vs wavefront at equal seed."""
+    import numpy as np
+
+    from surf_tpu.app.image_io import save_image
+    from surf_tpu.reference.cpu_renderer import OracleRenderer
+
+    w = h = max(32, int(256 * scale))
+    spp = max(1, int(8 * scale))
+    host, cam, cp = _setup(w, h, "box")
+    t0 = time.time()
+    oracle_img = OracleRenderer(host, cam).render(w, h, spp)
+    t_oracle = time.time() - t0
+    t0 = time.time()
+    wf_img = _render(host, cp, w, h, spp, max_bounces=None)
+    t_wf = time.time() - t0
+    diff = np.abs(oracle_img - wf_img).max(axis=2)
+    frac = float((diff > 1e-3).mean())
+    e_rel = abs(oracle_img.sum() - wf_img.sum()) / abs(oracle_img.sum())
+    save_image(f"{OUT}/config1_oracle.png", oracle_img / spp)
+    save_image(f"{OUT}/config1_wavefront.png", wf_img / spp)
+    ok = frac < 0.01 and e_rel < 0.01
+    print(f"config1 [{w}x{h}@{spp}spp]: {'PASS' if ok else 'FAIL'} "
+          f"divergent={frac:.4%} energy_rel={e_rel:.5f} "
+          f"oracle={t_oracle:.1f}s wavefront={t_wf:.1f}s")
+    return ok
+
+
+def config2(scale):
+    """Full indoor scene, NEE + RR."""
+    import numpy as np
+
+    from surf_tpu.app.image_io import save_image
+
+    w = h = max(64, int(512 * scale))
+    spp = max(1, int(16 * scale))
+    host, cam, cp = _setup(w, h)
+    t0 = time.time()
+    img = _render(host, cp, w, h, spp, max_bounces=48)
+    dt = time.time() - t0
+    e = float(img.sum()) / spp
+    save_image(f"{OUT}/config2_indoor.png", img / spp)
+    ok = np.isfinite(img).all() and e > 0
+    print(f"config2 [{w}x{h}@{spp}spp]: {'PASS' if ok else 'FAIL'} "
+          f"energy={e:.1f} time={dt:.1f}s "
+          f"rays_per_s={w*h*spp/dt:.3e}")
+    return ok
+
+
+def config3(scale):
+    """Differentiable pass: albedo + camera gradients, FD-validated."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from surf_tpu.diff import DiffTargets, grad_image_loss, image_loss
+
+    w = h = max(16, int(64 * scale))
+    host, cam, cp = _setup(w, h, "box")
+    from surf_tpu.wavefront import RenderConfig
+
+    cfg = RenderConfig.for_scene(
+        host.static, w, h, 2, use_defocus=True,
+        use_pallas=jax.default_backend() != "cpu",
+    )._replace(max_bounces=12)
+    targets = DiffTargets.from_scene(host.render_scene, cp)
+    t0 = time.time()
+    loss, grads = grad_image_loss(host.render_scene, cfg, targets, jnp.uint32(0))
+    jax.block_until_ready(grads)
+    t_grad = time.time() - t0
+
+    f = jax.jit(lambda a: image_loss(
+        host.render_scene, cfg, targets._replace(albedo=a), jnp.uint32(0)))
+    base = np.asarray(targets.albedo, np.float64)
+    hstep = 1e-3
+    bp = base.copy(); bp[0, 0] += hstep
+    bm = base.copy(); bm[0, 0] -= hstep
+    fd = (float(f(jnp.asarray(bp, jnp.float32)))
+          - float(f(jnp.asarray(bm, jnp.float32)))) / (2 * hstep)
+    ad = float(np.asarray(grads.albedo)[0, 0])
+    rel = abs(fd - ad) / (abs(ad) + 1e-8)
+    ok = rel < 0.1
+    print(f"config3 [{w}x{h}]: {'PASS' if ok else 'FAIL'} "
+          f"albedo FD={fd:.5f} AD={ad:.5f} rel={rel:.4f} "
+          f"|camera grad|={float(jnp.linalg.norm(grads.camera.position)):.2e} "
+          f"grad_time={t_grad:.1f}s")
+    return ok
+
+
+def config4(scale):
+    """Large frame, compaction + per-frame BVH rebuild."""
+    import numpy as np
+
+    w = h = max(128, int(1024 * scale))
+    spp = max(1, int(256 * scale * scale))
+    host, cam, cp = _setup(w, h)
+    times = []
+    e = 0.0
+    for frame in range(2):
+        t0 = time.time()
+        host.update(1 / 60, rebuild=True)  # full SAH rebuild per frame
+        t_build = time.time() - t0
+        t0 = time.time()
+        img = _render(host, cp, w, h, spp, max_bounces=32, compact=True)
+        times.append(time.time() - t0)
+        e = float(img.sum()) / spp
+        print(f"  frame {frame}: rebuild={t_build*1e3:.0f}ms "
+              f"render={times[-1]:.1f}s energy={e:.0f}")
+    ok = np.isfinite(e) and e > 0
+    print(f"config4 [{w}x{h}@{spp}spp, rebuild/frame]: "
+          f"{'PASS' if ok else 'FAIL'} rays_per_s={w*h*spp/times[-1]:.3e}")
+    return ok
+
+
+def config5(scale):
+    """Sharded render + gradient all-reduce + scaling sweep."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from surf_tpu.diff import DiffTargets
+    from surf_tpu.dist import grad_step_sharded, make_mesh, scaling_sweep
+    from surf_tpu.wavefront import RenderConfig
+
+    n_dev = len(jax.devices())
+    w = h = max(32, int(256 * scale))
+    host, cam, cp = _setup(w, h, "box")
+    cfg = RenderConfig.for_scene(
+        host.static, w, h, 1, use_defocus=True,
+        use_pallas=jax.default_backend() != "cpu",
+    )._replace(max_bounces=12)
+    counts = [c for c in (1, 2, 4, 8, n_dev) if c <= n_dev]
+    res = scaling_sweep(host.render_scene, cfg, cp, sorted(set(counts)))
+    base = res[min(res)]
+    for nd, t in sorted(res.items()):
+        eff = base / (t * nd / min(res))
+        print(f"  {nd} chips: {t*1e3:.0f} ms/frame scaling_eff={eff:.2f}")
+    targets = DiffTargets.from_scene(host.render_scene, cp)
+    loss, grads = grad_step_sharded(
+        host.render_scene, cfg, targets, jnp.uint32(0), make_mesh(n_dev))
+    ok = np.isfinite(float(loss))
+    print(f"config5 [{n_dev} devices]: {'PASS' if ok else 'FAIL'} "
+          f"sharded loss={float(loss):.5f} "
+          f"|albedo grad|={float(jnp.linalg.norm(grads.albedo)):.2e}")
+    return ok
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("configs", nargs="*", default=["1", "2", "3"],
+                   help="config numbers to run (default 1 2 3)")
+    p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+    if args.cpu:
+        from surf_tpu.utils import force_cpu
+
+        force_cpu(8)
+    os.makedirs(OUT, exist_ok=True)
+    fns = {"1": config1, "2": config2, "3": config3, "4": config4,
+           "5": config5}
+    ok = True
+    for c in args.configs:
+        ok &= bool(fns[c](args.scale))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
