@@ -164,17 +164,73 @@ def build_bvh(prim_lo, prim_hi, key, min_leaf: int = 1) -> BVH:
     return _numpy_build(prim_lo, prim_hi, key, min_leaf)
 
 
+def enforce_max_leaf(bvh: BVH, prim_lo, prim_hi, key, max_leaf: int) -> BVH:
+    """Post-pass: split any leaf holding more than ``max_leaf`` primitives
+    (median split along the largest-extent axis of the binning key).
+
+    The SAH builder's parent-cost termination can produce arbitrarily fat
+    leaves (clustered centroids); the 8-wide TPU layout stores one leaf as
+    one 128-lane row of <= 8 triangles, so the render BVH bounds leaf size
+    here.  Node pool capacity 2n is sufficient for any full binary tree."""
+    prim_lo = np.asarray(prim_lo, np.float32)
+    prim_hi = np.asarray(prim_hi, np.float32)
+    key = np.asarray(key, np.float32)
+    indices = bvh.indices.copy()
+    node_lo = bvh.node_lo.copy()
+    node_hi = bvh.node_hi.copy()
+    left_first = bvh.left_first.copy()
+    count = bvh.count.copy()
+    nodes_used = bvh.nodes_used
+
+    stack = [i for i in range(nodes_used)
+             if i != 1 and count[i] > max_leaf]
+    while stack:
+        node = stack.pop()
+        first = int(left_first[node])
+        cnt = int(count[node])
+        ids = indices[first: first + cnt]
+        k = key[ids]
+        axis = int(np.argmax(k.max(axis=0) - k.min(axis=0)))
+        order = np.argsort(k[:, axis], kind="stable")
+        indices[first: first + cnt] = ids[order]
+        half = cnt // 2
+
+        li, ri = nodes_used, nodes_used + 1
+        nodes_used += 2
+        left_first[li] = first
+        count[li] = half
+        left_first[ri] = first + half
+        count[ri] = cnt - half
+        left_first[node] = li
+        count[node] = 0
+        for c in (li, ri):
+            cids = indices[left_first[c]: left_first[c] + count[c]]
+            node_lo[c] = prim_lo[cids].min(axis=0)
+            node_hi[c] = prim_hi[cids].max(axis=0)
+            if count[c] > max_leaf:
+                stack.append(c)
+
+    return BVH(indices, node_lo, node_hi, left_first, count, nodes_used)
+
+
 def triangle_bounds(v0, v1, v2):
     lo = np.minimum(np.minimum(v0, v1), v2).astype(np.float32)
     hi = np.maximum(np.maximum(v0, v1), v2).astype(np.float32)
     return lo, hi
 
 
-def build_blas(v0, v1, v2, min_leaf: int = 1) -> BVH:
-    """BLAS over a triangle soup; bins by the 0.333f centroid (mesh.cpp:20)."""
+def build_blas(v0, v1, v2, min_leaf: int = 1,
+               max_leaf: int | None = None) -> BVH:
+    """BLAS over a triangle soup; bins by the 0.333f centroid (mesh.cpp:20).
+
+    ``max_leaf`` (optional) bounds leaf size via enforce_max_leaf — required
+    by the 8-wide kernel layout (one row per leaf)."""
     lo, hi = triangle_bounds(v0, v1, v2)
     centroid = ((np.asarray(v0, np.float32) + v1 + v2) * np.float32(0.333)).astype(np.float32)
-    return build_bvh(lo, hi, centroid, min_leaf)
+    bvh = build_bvh(lo, hi, centroid, min_leaf)
+    if max_leaf is not None and bvh.count.max() > max_leaf:
+        bvh = enforce_max_leaf(bvh, lo, hi, centroid, max_leaf)
+    return bvh
 
 
 def build_tlas(inst_lo, inst_hi) -> BVH:

@@ -59,6 +59,10 @@ class TraceArrays(NamedTuple):
     node_meta: jnp.ndarray  # [D,3] int32 (leaf_first, leaf_count, skip)
     nodes_packed: jnp.ndarray  # [ceil(D/8)pad, 128] f32 packed records
     tris_packed: jnp.ndarray   # [ceil(T/8)pad, 128] f32 packed records
+    wide_stream: jnp.ndarray | None = None   # [E,128] f32 8-wide DFS stream
+    wide_rec_slot: jnp.ndarray | None = None # [E*8] i32 rec -> tri slot
+    # (accel/wide.py; None in unit-test fixtures that only exercise the
+    # binary kernels — a None leaf is an empty pytree subtree.)
 
 
 def pack_records_np(f32_cols, i32_cols) -> np.ndarray:

@@ -1,0 +1,273 @@
+"""8-wide BVH "stream" layout for the TPU packet-traversal kernel.
+
+The binary SAH BVH (builder.py, algorithm from /root/reference/sources/
+bvh.cpp:255-465) is collapsed host-side into a branching-factor-8 tree and
+flattened into a single DFS-preorder **stream** of 128-lane rows — the
+layout consumed by accel/pallas_wide.py.  Two row kinds share one table:
+
+- **node row**: child slot k at lanes [16k, 16k+6) = AABB lo/hi of the k-th
+  child (empty slots carry an inverted box lo=+FAR/hi=-FAR, so the slab
+  test can never pass);
+- **leaf row**: triangle j at lanes [16j, 16j+9) = v0, e1, e2 (zero padding
+  fails the Möller–Trumbore |det| >= eps test, so no count field is needed).
+
+Shared metadata lives in lanes that are spare in BOTH kinds (node slot 0
+uses lanes 0-5, leaf slot 0 uses lanes 0-8):
+  lane 9  (int32) = 1 for leaf rows, 0 for node rows
+  lane 10 (int32) = skip link: stream position after this node's subtree
+
+Stream order per node: [node row][its leaf rows][child subtrees...][skip].
+A node's leaf children are MERGED and re-chunked into ceil(total/8) dense
+rows (the per-child AABBs in the node row only drive the any-descend
+decision, so merging loses nothing and roughly doubles row occupancy).
+
+Traversal is stackless: visit row p; a node row descends to p+1 if ANY live
+ray hits ANY child slot, else jumps to skip; a leaf row tests its 8
+triangles and always proceeds to p+1.  Rows are visited at most once, and
+the cursor strictly increases — kernel iterations are bounded by the stream
+length (the wedge-proof guard).
+
+Why this shape (measured on v5e, scripts/tpu_*_micro.py):
+- dynamic-lane `pltpu.roll` ~1.2us/op and dynamic-index stores ~1.4us/op —
+  both banned; one row per node/leaf needs neither (static lane offsets,
+  read-only tables);
+- vector->scalar extracts are ~free inside a fixed-trip fori_loop
+  (53 extracts + 8 slab tests = 21.5ns/visit), while a data-dependent
+  while-loop *condition* costs ~900ns — so the kernel checks its cursor
+  once every K visits and runs K masked visits per check.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from .builder import BVH, triangle_bounds
+
+WIDTH = 8
+LEAF_TRIS = 8        # triangles per leaf row
+LANE = 128
+REC = 16
+_FAR = np.float32(1e30)
+
+IS_LEAF_LANE = 9
+SKIP_LANE = 10
+
+
+class WideStream(NamedTuple):
+    """Host arrays (pack to device with jnp.asarray)."""
+
+    stream: np.ndarray    # [E, 128] f32 unified rows
+    rec_slot: np.ndarray  # [E * 8] int32: record -> leaf-order tri slot (-1)
+    n_entries: int        # E (pre-padding)
+    n_node_rows: int
+    n_leaf_rows: int
+
+
+def build_wide_stream(bvh: BVH, tri_v0, tri_v1, tri_v2) -> WideStream:
+    """Collapse a binary BVH over *leaf-ordered* triangles (vertices already
+    permuted by ``bvh.indices``) into the wide DFS stream."""
+    tv0 = np.asarray(tri_v0, np.float32)
+    tv1 = np.asarray(tri_v1, np.float32)
+    tv2 = np.asarray(tri_v2, np.float32)
+    tlo, thi = triangle_bounds(tv0, tv1, tv2)
+
+    count = bvh.count
+    left_first = bvh.left_first
+    node_lo, node_hi = bvh.node_lo, bvh.node_hi
+
+    def leaf_box(first, cnt):
+        return (tlo[first:first + cnt].min(axis=0),
+                thi[first:first + cnt].max(axis=0))
+
+    # items: ('n', i) binary node | ('l', first, cnt) leaf triangle range
+    def item_box(it):
+        if it[0] == "n":
+            return node_lo[it[1]], node_hi[it[1]]
+        return leaf_box(it[1], it[2])
+
+    def expandable(it):
+        if it[0] == "n":
+            return count[it[1]] == 0 or count[it[1]] > LEAF_TRIS
+        return it[2] > LEAF_TRIS
+
+    def area(it):
+        lo, hi = item_box(it)
+        e = hi - lo
+        return float(e[0] * e[1] + e[1] * e[2] + e[2] * e[0])
+
+    def expand(it):
+        if it[0] == "n" and count[it[1]] == 0:
+            l = int(left_first[it[1]])
+            return [("n", l), ("n", l + 1)]
+        first, cnt = (int(left_first[it[1]]), int(count[it[1]])) \
+            if it[0] == "n" else (it[1], it[2])
+        h = cnt // 2
+        return [("l", first, h), ("l", first + h, cnt - h)]
+
+    def make_children(root_items):
+        items = list(root_items)
+        while len(items) < WIDTH:
+            cands = [i for i, it in enumerate(items) if expandable(it)]
+            if not cands:
+                break
+            pick = max(cands, key=lambda i: area(items[i]))
+            items[pick:pick + 1] = expand(items[pick])
+        # Oversized leaves are impossible when the binary build used
+        # max_leaf <= LEAF_TRIS (builder.enforce_max_leaf).
+        for it in items:
+            if it[0] == "l":
+                assert it[2] <= LEAF_TRIS, "binary build must cap leaf size"
+            else:
+                assert count[it[1]] == 0 or count[it[1]] <= LEAF_TRIS
+        return items
+
+    rows: list[np.ndarray] = []
+    recs: list[np.ndarray] = []
+
+    def emit_leaf_rows(tri_slots):
+        """Merged leaf triangles of one node, chunked 8 per row."""
+        for c in range(0, len(tri_slots), LEAF_TRIS):
+            chunk = tri_slots[c: c + LEAF_TRIS]
+            row = np.zeros(LANE, np.float32)
+            rec = np.full(LEAF_TRIS, -1, np.int32)
+            for j, s in enumerate(chunk):
+                b = REC * j
+                row[b + 0: b + 3] = tv0[s]
+                row[b + 3: b + 6] = tv1[s] - tv0[s]
+                row[b + 6: b + 9] = tv2[s] - tv0[s]
+                rec[j] = s
+            meta = np.array([1, len(rows) + 1], np.int32)  # is_leaf, skip
+            row[IS_LEAF_LANE:SKIP_LANE + 1] = meta.view(np.float32)
+            rows.append(row)
+            recs.append(rec)
+
+    def emit_node(items):
+        pos = len(rows)
+        rows.append(np.zeros(LANE, np.float32))  # placeholder
+        recs.append(np.full(LEAF_TRIS, -1, np.int32))
+
+        boxes = []
+        tri_slots: list[int] = []
+        interior: list[list] = []
+        for it in items:
+            boxes.append(item_box(it))
+            if it[0] == "n" and count[it[1]] == 0:
+                l = int(left_first[it[1]])
+                interior.append(make_children([("n", l), ("n", l + 1)]))
+            else:
+                first, cnt = (int(left_first[it[1]]), int(count[it[1]])) \
+                    if it[0] == "n" else (it[1], it[2])
+                tri_slots.extend(range(first, first + cnt))
+
+        emit_leaf_rows(tri_slots)
+        for child_items in interior:
+            emit_node(child_items)
+
+        row = np.zeros(LANE, np.float32)
+        for k, (lo, hi) in enumerate(boxes):
+            row[REC * k + 0: REC * k + 3] = lo
+            row[REC * k + 3: REC * k + 6] = hi
+        for k in range(len(boxes), WIDTH):
+            row[REC * k + 0: REC * k + 3] = _FAR
+            row[REC * k + 3: REC * k + 6] = -_FAR
+        meta = np.array([0, len(rows)], np.int32)  # is_leaf, skip
+        row[IS_LEAF_LANE:SKIP_LANE + 1] = meta.view(np.float32)
+        rows[pos] = row
+
+    if count[0] > 0:
+        root_items = make_children(
+            [("l", int(left_first[0]), int(count[0]))])
+    else:
+        l = int(left_first[0])
+        root_items = make_children([("n", l), ("n", l + 1)])
+    emit_node(root_items)
+
+    n_entries = len(rows)
+    # Pad rows to a multiple of 8 sublanes with inert leaf rows (zero tris).
+    while len(rows) % 8:
+        row = np.zeros(LANE, np.float32)
+        row[IS_LEAF_LANE:SKIP_LANE + 1] = np.array(
+            [1, len(rows) + 1], np.int32).view(np.float32)
+        rows.append(row)
+        recs.append(np.full(LEAF_TRIS, -1, np.int32))
+
+    stream = np.stack(rows).astype(np.float32)
+    rec_slot = np.concatenate(recs).astype(np.int32)
+    meta_i = stream[:, IS_LEAF_LANE].view(np.int32)
+    n_leaf = int(meta_i[:n_entries].sum())
+    return WideStream(stream, rec_slot, n_entries,
+                      n_entries - n_leaf, n_leaf)
+
+
+# --------------------------------------------------------------------------
+# NumPy reference traversal (oracle for the Pallas kernel tests)
+# --------------------------------------------------------------------------
+
+def traverse_stream_np(ws: WideStream, origin, direction, t_max,
+                       any_hit: bool = False):
+    """Per-ray scalar walk of the stream; returns (t, rec, u, v) with
+    rec = row*8+j into rec_slot, -1 for a miss.  Semantics match the binary
+    kernels: C-style NaN min/max slab test, strictly-closer replacement,
+    |det| >= 1e-5 and t >= 1e-5 epsilon bounds (mesh.cpp:23-62)."""
+    eps = np.float32(1e-5)
+    stream = ws.stream
+    meta = stream[:, IS_LEAF_LANE:SKIP_LANE + 1].view(np.int32)
+    E = ws.n_entries
+    n = len(origin)
+    out_t = np.asarray(t_max, np.float32).copy()
+    out_rec = np.full(n, -1, np.int64)
+    out_u = np.zeros(n, np.float32)
+    out_v = np.zeros(n, np.float32)
+
+    for r in range(n):
+        o = origin[r]
+        d = direction[r]
+        inv = np.float32(1.0) / d
+        p = 0
+        while p < E:
+            row = stream[p]
+            is_leaf, skip = meta[p]
+            if is_leaf:
+                for j in range(LEAF_TRIS):
+                    b = REC * j
+                    v0 = row[b: b + 3]
+                    e1 = row[b + 3: b + 6]
+                    e2 = row[b + 6: b + 9]
+                    h = np.cross(d, e2)
+                    a = float(e1 @ h)
+                    if abs(a) < eps:
+                        continue
+                    f = 1.0 / a
+                    s = o - v0
+                    u = f * float(s @ h)
+                    if u < 0.0 or u > 1.0:
+                        continue
+                    q = np.cross(s, e1)
+                    v = f * float(d @ q)
+                    if v < 0.0 or u + v > 1.0:
+                        continue
+                    t = f * float(e2 @ q)
+                    if eps <= t < out_t[r]:
+                        out_t[r] = t
+                        out_rec[r] = p * LEAF_TRIS + j
+                        out_u[r] = u
+                        out_v[r] = v
+                p += 1
+                if any_hit and out_rec[r] >= 0:
+                    break
+                continue
+            anyh = False
+            for k in range(WIDTH):
+                lo = row[REC * k: REC * k + 3]
+                hi = row[REC * k + 3: REC * k + 6]
+                tn = (lo - o) * inv
+                tf = (hi - o) * inv
+                tmin = np.minimum(tn, tf).max()
+                tmax_ = np.maximum(tn, tf).min()
+                if tmax_ >= tmin and tmin < out_t[r] and tmax_ > 0:
+                    anyh = True
+                    break
+            p = p + 1 if anyh else skip
+    return out_t, out_rec, out_u, out_v

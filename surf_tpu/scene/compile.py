@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..accel import builder
+from ..accel.wide import build_wide_stream
 from ..accel.traverse import (
     TraceArrays,
     build_skiplinks,
@@ -148,6 +149,9 @@ class HostCompiled:
         self.bvh = builder.build_blas(
             self.samp_v0, self.samp_v1, self.samp_v2,
             min_leaf=self.render_min_leaf,
+            # 8-wide kernel layout stores one leaf per 128-lane row
+            # (accel/wide.py); bound leaf size accordingly.
+            max_leaf=8,
         )
         self._refresh_device()
 
@@ -163,6 +167,7 @@ class HostCompiled:
         tv1 = self.samp_v1[perm]
         tv2 = self.samp_v2[perm]
         nodes_packed, tris_packed = pack_trace_tables(tv0, tv1, tv2, boxes, meta)
+        ws = build_wide_stream(self.bvh, tv0, tv1, tv2)
         scene = self.scene
         bg = scene.background
         light_inst = np.asarray(scene.light_indices, np.int32)
@@ -179,6 +184,8 @@ class HostCompiled:
                 node_meta=j(meta),
                 nodes_packed=j(nodes_packed),
                 tris_packed=j(tris_packed),
+                wide_stream=j(ws.stream),
+                wide_rec_slot=j(ws.rec_slot),
             ),
             tri_inst=j(self.tri_inst[perm]),
             tri_n0=j(self.samp_n0[perm]),

@@ -56,6 +56,7 @@ class RenderConfig(NamedTuple):
     max_bounces: int | None = None  # None -> unbounded while_loop (forward only)
     wave_limit: int = 8192          # safety cap for the unbounded loop
     use_pallas: bool = False        # Pallas packet-traversal kernels (TPU)
+    use_wide: bool = True           # 8-wide stream kernel (vs binary records)
     pallas_interpret: bool = False  # interpreter mode (CPU testing)
     compact: bool = False           # sort live paths to the front each wave
     remat: bool = False             # checkpoint each wave (reverse-mode memory)
@@ -176,6 +177,14 @@ def _dispatch_traverse(cfg: RenderConfig, trace, origin, direction, t_max,
     """Select the Pallas packet kernel (TPU perf path) or the XLA lockstep
     walk (CPU/tests) — identical semantics, tested against each other."""
     if cfg.use_pallas:
+        if cfg.use_wide:
+            from ..accel.pallas_wide import WideTrace, traverse_wide
+
+            return traverse_wide(
+                WideTrace(trace.wide_stream, trace.wide_rec_slot),
+                origin, direction, t_max, active,
+                any_hit=any_hit, interpret=cfg.pallas_interpret,
+            )
         from ..accel.pallas_traverse import traverse_pallas
 
         return traverse_pallas(
