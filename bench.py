@@ -51,7 +51,7 @@ def run_bench(width, height, spp, max_bounces, use_pallas, frames=3,
     cfg = RenderConfig.for_scene(
         host.static, width, height, spp_chunk, use_defocus=True,
         use_pallas=use_pallas,
-    )._replace(max_bounces=max_bounces)
+    )._replace(max_bounces=max_bounces, compact=use_pallas)
 
     def frame(total_samples):
         seed = initial_seeds(cfg, total_samples)

@@ -43,27 +43,39 @@ def main():
 
     d2 = jax.random.normal(jax.random.PRNGKey(0), (n, 3))
     d2 = d2 / jnp.linalg.norm(d2, axis=1, keepdims=True)
-    o2 = jax.random.uniform(jax.random.PRNGKey(1), (n, 3), -3.0, 3.0)
+    o2 = jax.random.uniform(jax.random.PRNGKey(1), (n, 3), minval=-3.0, maxval=3.0)
 
-    fv = jax.jit(lambda o, d: traverse_wide(
-        wt, o, d, tmax, act, any_hit=False, return_visits=True))
-    f = jax.jit(lambda o, d: traverse_wide(
-        wt, o, d, tmax, act, any_hit=False))
+    algos = ["stack"] if "--stack" in sys.argv else ["skip", "stack"]
+    for algo in algos:
+        fv = jax.jit(lambda o, d, a=algo: traverse_wide(
+            wt, o, d, tmax, act, any_hit=False, return_visits=True, algo=a))
+        f = jax.jit(lambda o, d, a=algo: traverse_wide(
+            wt, o, d, tmax, act, any_hit=False, algo=a))
+        fa = jax.jit(lambda o, d, a=algo: traverse_wide(
+            wt, o, d, tmax, act, any_hit=True, algo=a))
 
-    for name, o, d in (("coherent", origin, direction),
-                       ("incoherent", o2, d2)):
-        visits = np.asarray(fv(o, d))
-        hit = f(o, d)
-        hit.t.block_until_ready()
-        t0 = time.time()
-        for _ in range(5):
+        for name, o, d in (("coherent", origin, direction),
+                           ("incoherent", o2, d2)):
+            visits = np.asarray(fv(o, d))
             hit = f(o, d)
-        hit.t.block_until_ready()
-        dt = (time.time() - t0) / 5
-        tot = visits.sum()
-        print(f"{name}: {dt*1e3:.2f} ms, visits/block mean "
-              f"{visits.mean():.0f} max {visits.max()}, total {tot} "
-              f"-> {dt/tot*1e9:.1f} ns/visit", flush=True)
+            hit.t.block_until_ready()
+            t0 = time.time()
+            for _ in range(5):
+                hit = f(o, d)
+            hit.t.block_until_ready()
+            dt = (time.time() - t0) / 5
+            ha = fa(o, d)
+            ha.t.block_until_ready()
+            t0 = time.time()
+            for _ in range(5):
+                ha = fa(o, d)
+            ha.t.block_until_ready()
+            dta = (time.time() - t0) / 5
+            tot = visits.sum()
+            print(f"{algo:5s} {name}: {dt*1e3:.2f} ms (anyhit {dta*1e3:.2f})"
+                  f", visits/block mean {visits.mean():.0f} "
+                  f"max {visits.max()}, total {tot} "
+                  f"-> {dt/tot*1e9:.1f} ns/visit", flush=True)
 
     # device-vs-oracle spot check (512 rays)
     from surf_tpu.accel.wide import traverse_stream_np, WideStream

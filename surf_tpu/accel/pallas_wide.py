@@ -110,6 +110,10 @@ def _walk_block(
             live = act
 
         # ---- node interpretation: 8 child slab tests -------------------
+        # jnp.minimum/maximum (1 op) instead of the C-style where-chains
+        # (2 ops): NaN operands (0 * inf) are impossible because
+        # traverse_wide sanitizes zero direction components, so IEEE and
+        # C-style min/max agree.
         anyh = jnp.zeros((SUB, LANE), dtype=bool)
         for k in range(WIDTH):
             b = REC * k
@@ -121,16 +125,16 @@ def _walk_block(
             hi_z = row[0, b + 5]
             tx_n = (lo_x - ox) * inv_dx
             tx_f = (hi_x - ox) * inv_dx
-            tmin = _c_min(tx_n, tx_f)
-            tmax_ = _c_max(tx_n, tx_f)
+            tmin = jnp.minimum(tx_n, tx_f)
+            tmax_ = jnp.maximum(tx_n, tx_f)
             ty_n = (lo_y - oy) * inv_dy
             ty_f = (hi_y - oy) * inv_dy
-            tmin = _c_max(tmin, _c_min(ty_n, ty_f))
-            tmax_ = _c_min(tmax_, _c_max(ty_n, ty_f))
+            tmin = jnp.maximum(tmin, jnp.minimum(ty_n, ty_f))
+            tmax_ = jnp.minimum(tmax_, jnp.maximum(ty_n, ty_f))
             tz_n = (lo_z - oz) * inv_dz
             tz_f = (hi_z - oz) * inv_dz
-            tmin = _c_max(tmin, _c_min(tz_n, tz_f))
-            tmax_ = _c_min(tmax_, _c_max(tz_n, tz_f))
+            tmin = jnp.maximum(tmin, jnp.minimum(tz_n, tz_f))
+            tmax_ = jnp.minimum(tmax_, jnp.maximum(tz_n, tz_f))
             anyh = anyh | (
                 (tmax_ >= tmin) & (tmin < best_t)
                 & (tmax_ > jnp.float32(0.0))
@@ -197,14 +201,208 @@ def _walk_block(
     return it, best_t, best_r, best_u, best_v
 
 
+STACK_DEPTH = 16  # >= wide-tree depth (one (row, pending-mask) per level)
+
+
+def _walk_block_stack(
+    ox, oy, oz, dx, dy, dz, tmax, act,
+    stream_ref, *, any_hit: bool, n_entries: int,
+):
+    """Register-stack walk: exact per-child pruning without memory.
+
+    The stackless skip-link walk visits EVERY child entry of a descended
+    node (a leaf row whose own box no ray hit still pays a full visit).
+    This variant tests the 8 child boxes at the parent and visits only hit
+    children, cutting visits ~2x on the indoor scene (scripts/sim_visits).
+    The pending-sibling state lives in SCALAR REGISTERS — one (row, mask)
+    pair per tree level, accessed by where-chains over a static depth —
+    because every dynamic-index store costs ~1.4us on v5e (tpu_stack_micro)
+    while scalar selects are ~free.  Pops re-fetch the parent row to
+    recover the next hit child's slot pointer (fetches are cheap).
+
+    Row kinds are still mixed, so each visit evaluates both the slab and
+    Möller–Trumbore interpretations, select-masked by the carried kind flag
+    (lax.cond measured ~1.6us per switch — branch-free is faster)."""
+    inv_dx = jnp.float32(1.0) / dx
+    inv_dy = jnp.float32(1.0) / dy
+    inv_dz = jnp.float32(1.0) / dz
+    n_e = jnp.int32(n_entries)
+    zero = jnp.int32(0)
+
+    init = (
+        jnp.where(jnp.any(act), jnp.int32(0), jnp.int32(-1)),  # cur row
+        zero,                                                  # cur is_leaf
+        zero,                                                  # sp
+        (zero,) * STACK_DEPTH,                                 # stack rows
+        (zero,) * STACK_DEPTH,                                 # stack masks
+        zero,                                                  # visit count
+        tmax,
+        jnp.full((SUB, LANE), -1, jnp.int32),
+        jnp.zeros((SUB, LANE), jnp.float32),
+        jnp.zeros((SUB, LANE), jnp.float32),
+    )
+
+    def visit(_, c):
+        (cur, cleaf, sp, srows, smasks, it,
+         best_t, best_r, best_u, best_v) = c
+        valid = cur >= 0
+        pc = jnp.maximum(cur, 0)
+        row = stream_ref[pl.ds(pc, 1), :]
+        row_i = pltpu.bitcast(row, jnp.int32)
+        is_leaf = cleaf == 1
+
+        if any_hit:
+            live = act & (best_r < 0)
+        else:
+            live = act
+
+        # ---- node interpretation: per-child hit mask --------------------
+        mask = zero
+        for k in range(WIDTH):
+            b = REC * k
+            lo_x = row[0, b + 0]
+            lo_y = row[0, b + 1]
+            lo_z = row[0, b + 2]
+            hi_x = row[0, b + 3]
+            hi_y = row[0, b + 4]
+            hi_z = row[0, b + 5]
+            tx_n = (lo_x - ox) * inv_dx
+            tx_f = (hi_x - ox) * inv_dx
+            tmin = jnp.minimum(tx_n, tx_f)
+            tmax_ = jnp.maximum(tx_n, tx_f)
+            ty_n = (lo_y - oy) * inv_dy
+            ty_f = (hi_y - oy) * inv_dy
+            tmin = jnp.maximum(tmin, jnp.minimum(ty_n, ty_f))
+            tmax_ = jnp.minimum(tmax_, jnp.maximum(ty_n, ty_f))
+            tz_n = (lo_z - oz) * inv_dz
+            tz_f = (hi_z - oz) * inv_dz
+            tmin = jnp.maximum(tmin, jnp.minimum(tz_n, tz_f))
+            tmax_ = jnp.minimum(tmax_, jnp.maximum(tz_n, tz_f))
+            hit_k = (
+                (tmax_ >= tmin) & (tmin < best_t)
+                & (tmax_ > jnp.float32(0.0)) & live
+            )
+            mask = mask + jnp.where(jnp.any(hit_k), jnp.int32(1 << k), zero)
+        mask = jnp.where(valid & ~is_leaf, mask, zero)
+
+        # ---- leaf interpretation: 8 Möller–Trumbore tests ----------------
+        leaf_live = live & is_leaf & valid
+        for j in range(WIDTH):
+            b = REC * j
+            v0x = row[0, b + 0]
+            v0y = row[0, b + 1]
+            v0z = row[0, b + 2]
+            e1x = row[0, b + 3]
+            e1y = row[0, b + 4]
+            e1z = row[0, b + 5]
+            e2x = row[0, b + 6]
+            e2y = row[0, b + 7]
+            e2z = row[0, b + 8]
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            a = e1x * hx + e1y * hy + e1z * hz
+            f = jnp.float32(1.0) / a
+            sx = ox - v0x
+            sy = oy - v0y
+            sz = oz - v0z
+            u = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            v = f * (dx * qx + dy * qy + dz * qz)
+            t = f * (e2x * qx + e2y * qy + e2z * qz)
+            hit = (
+                (jnp.abs(a) >= _EPS)
+                & (u >= 0.0) & (u <= 1.0)
+                & (v >= 0.0) & (u + v <= 1.0)
+                & (t >= _EPS) & (t < best_t)
+                & leaf_live
+            )
+            best_t = jnp.where(hit, t, best_t)
+            best_r = jnp.where(hit, pc * LEAF_TRIS + j, best_r)
+            best_u = jnp.where(hit, u, best_u)
+            best_v = jnp.where(hit, v, best_v)
+            if any_hit:
+                leaf_live = leaf_live & (best_r < 0)
+
+        # ---- control: descend to first hit child / pop pending ----------
+        low = mask & (-mask)          # lowest set bit (one-hot)
+        rem = mask & (mask - 1)       # remaining siblings
+        nc = zero
+        nl = zero
+        for k in range(WIDTH):
+            sel = low == (1 << k)
+            nc = jnp.where(sel, row_i[0, REC * k + 6], nc)
+            nl = jnp.where(sel, row_i[0, REC * k + 7], nl)
+        go = mask != zero
+        push = valid & go & (rem != zero)
+        pop = valid & ~go & (sp > zero)
+
+        top_i = sp - 1
+        trow = zero
+        tmask = zero
+        for i in range(STACK_DEPTH):
+            sel = top_i == i
+            trow = jnp.where(sel, srows[i], trow)
+            tmask = jnp.where(sel, smasks[i], tmask)
+        prow = stream_ref[pl.ds(jnp.maximum(trow, 0), 1), :]
+        prow_i = pltpu.bitcast(prow, jnp.int32)
+        plow = tmask & (-tmask)
+        prem = tmask & (tmask - 1)
+        pnc = zero
+        pnl = zero
+        for k in range(WIDTH):
+            sel = plow == (1 << k)
+            pnc = jnp.where(sel, prow_i[0, REC * k + 6], pnc)
+            pnl = jnp.where(sel, prow_i[0, REC * k + 7], pnl)
+
+        nxt = jnp.where(go, nc, jnp.where(pop, pnc, jnp.int32(-1)))
+        nxt_leaf = jnp.where(go, nl, jnp.where(pop, pnl, zero))
+
+        new_srows = []
+        new_smasks = []
+        for i in range(STACK_DEPTH):
+            at_push = push & (sp == i)
+            at_pop = pop & (top_i == i)
+            new_srows.append(jnp.where(at_push, pc, srows[i]))
+            new_smasks.append(jnp.where(
+                at_push, rem, jnp.where(at_pop, prem, smasks[i])))
+        sp2 = sp + jnp.where(push, jnp.int32(1), zero) \
+            - jnp.where(pop & (prem == zero), jnp.int32(1), zero)
+
+        cur2 = jnp.where(valid, nxt, cur)
+        cleaf2 = jnp.where(valid, nxt_leaf, cleaf)
+        if any_hit:
+            cur2 = jnp.where(
+                jnp.any(act & (best_r < 0)), cur2, jnp.int32(-1))
+        it2 = it + jnp.where(valid, jnp.int32(1), zero)
+        return (cur2, cleaf2, sp2, tuple(new_srows), tuple(new_smasks),
+                it2, best_t, best_r, best_u, best_v)
+
+    def cond(c):
+        # cur >= 0, with an iteration belt: every row is visited at most
+        # once (each child pointer's mask bit is consumed exactly once), so
+        # n_entries + K bounds the loop even under a miscompile.
+        return (c[0] >= 0) & (c[5] < n_e + jnp.int32(K_VISITS))
+
+    def body(c):
+        return jax.lax.fori_loop(0, K_VISITS, visit, c)
+
+    out = jax.lax.while_loop(cond, body, init)
+    return out[5], out[6], out[7], out[8], out[9]
+
+
 def _kernel_multiblock(
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref, act_ref,
     stream_ref,
     t_out, rec_out, u_out, v_out, it_out,
-    *, any_hit: bool, n_entries: int, n_blocks: int,
+    *, any_hit: bool, n_entries: int, n_blocks: int, algo: str = "skip",
 ):
+    walk = _walk_block if algo == "skip" else _walk_block_stack
+
     def blk(b, _):
-        it, bt, br, bu, bv = _walk_block(
+        it, bt, br, bu, bv = walk(
             ox_ref[b], oy_ref[b], oz_ref[b],
             dx_ref[b], dy_ref[b], dz_ref[b],
             tmax_ref[b], act_ref[b] != 0,
@@ -223,9 +421,10 @@ def _kernel_multiblock(
 MULTIBLOCK_CHUNK = 64 * BLOCK
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit", "interpret"))
+@functools.partial(jax.jit, static_argnames=("any_hit", "interpret", "algo"))
 def _traverse_padded(stream, rec_slot, ox, oy, oz, dx, dy, dz,
-                     tm, ac, any_hit: bool, interpret: bool):
+                     tm, ac, any_hit: bool, interpret: bool,
+                     algo: str = "skip"):
     n_entries = stream.shape[0]
     g = ox.shape[0]
     chunk_blocks = MULTIBLOCK_CHUNK // BLOCK
@@ -235,7 +434,7 @@ def _traverse_padded(stream, rec_slot, ox, oy, oz, dx, dy, dz,
         nb = end - start
         kernel = functools.partial(
             _kernel_multiblock, any_hit=any_hit, n_entries=n_entries,
-            n_blocks=nb,
+            n_blocks=nb, algo=algo,
         )
         out_shape = [
             jax.ShapeDtypeStruct((nb, SUB, LANE), jnp.float32),
@@ -268,6 +467,7 @@ def traverse_wide(
     any_hit: bool = False,
     interpret: bool = False,
     return_visits: bool = False,
+    algo: str = "skip",
 ) -> Hit:
     """Drop-in replacement for accel.traverse.traverse / traverse_pallas;
     hit.prim is the leaf-order triangle slot (map through scene.perm for
@@ -276,6 +476,15 @@ def traverse_wide(
     pad = (-n) % BLOCK
     n_pad = n + pad
     g = n_pad // BLOCK
+
+    # Sanitize exactly-zero direction components so 1/d is finite and the
+    # kernel's slab test never sees 0*inf NaNs (lets it use 1-op IEEE
+    # min/max).  The nudge is far below float32 direction precision.
+    direction = jnp.where(
+        jnp.abs(direction) < 1e-20,
+        jnp.where(direction < 0, jnp.float32(-1e-20), jnp.float32(1e-20)),
+        direction,
+    )
 
     def prep(x, fill=0):
         x = jnp.concatenate(
@@ -289,7 +498,7 @@ def traverse_wide(
         prep(direction[:, 0], 1), prep(direction[:, 1], 1),
         prep(direction[:, 2], 1),
         prep(t_max.astype(jnp.float32)), prep(active.astype(jnp.int32)),
-        any_hit, interpret,
+        any_hit, interpret, algo,
     )
     if return_visits:
         return it_o[:, 0, 0]  # per-block visit counts [g]

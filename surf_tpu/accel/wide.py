@@ -6,8 +6,10 @@ flattened into a single DFS-preorder **stream** of 128-lane rows — the
 layout consumed by accel/pallas_wide.py.  Two row kinds share one table:
 
 - **node row**: child slot k at lanes [16k, 16k+6) = AABB lo/hi of the k-th
-  child (empty slots carry an inverted box lo=+FAR/hi=-FAR, so the slab
-  test can never pass);
+  child, plus lanes [16k+6, 16k+8) = (child stream position, child is_leaf)
+  as int32 — the per-child pointers that drive the register-stack kernel.
+  Empty slots carry NaN boxes (NaN propagates through the min/max slab
+  chain and fails every comparison, so they can never test as hit);
 - **leaf row**: triangle j at lanes [16j, 16j+9) = v0, e1, e2 (zero padding
   fails the Möller–Trumbore |det| >= eps test, so no count field is needed).
 
@@ -16,16 +18,21 @@ uses lanes 0-5, leaf slot 0 uses lanes 0-8):
   lane 9  (int32) = 1 for leaf rows, 0 for node rows
   lane 10 (int32) = skip link: stream position after this node's subtree
 
-Stream order per node: [node row][its leaf rows][child subtrees...][skip].
-A node's leaf children are MERGED and re-chunked into ceil(total/8) dense
-rows (the per-child AABBs in the node row only drive the any-descend
-decision, so merging loses nothing and roughly doubles row occupancy).
+Stream order per node: [node row][its leaf-item rows][child subtrees...]
+[skip].  Sibling leaf ranges that are contiguous in leaf order are merged
+up to 8 tris per child (merge_adjacent_leaves) for row occupancy; each leaf
+child then owns exactly one row, so the register-stack kernel can jump to
+it by slot pointer.
 
-Traversal is stackless: visit row p; a node row descends to p+1 if ANY live
-ray hits ANY child slot, else jumps to skip; a leaf row tests its 8
-triangles and always proceeds to p+1.  Rows are visited at most once, and
-the cursor strictly increases — kernel iterations are bounded by the stream
-length (the wedge-proof guard).
+Two kernels consume the same table (accel/pallas_wide.py):
+- skip-link walk ("skip"): visit row p; a node row descends to p+1 if ANY
+  live ray hits ANY child slot, else jumps to skip; a leaf row tests its 8
+  triangles and always proceeds to p+1.  Cursor strictly increases —
+  iterations bounded by the stream length (the wedge-proof guard).
+- register-stack walk ("stack"): per-child pruning via the slot pointers,
+  pending siblings held in scalar-register (row, mask) pairs.  Each child
+  pointer's mask bit is consumed at most once — iterations bounded by the
+  stream length again.
 
 Why this shape (measured on v5e, scripts/tpu_*_micro.py):
 - dynamic-lane `pltpu.roll` ~1.2us/op and dynamic-index stores ~1.4us/op —
@@ -63,6 +70,7 @@ class WideStream(NamedTuple):
     n_entries: int        # E (pre-padding)
     n_node_rows: int
     n_leaf_rows: int
+    max_depth: int = 0    # node-tree depth (register-stack kernel sizing)
 
 
 def build_wide_stream(bvh: BVH, tri_v0, tri_v1, tri_v2) -> WideStream:
@@ -106,8 +114,40 @@ def build_wide_stream(bvh: BVH, tri_v0, tri_v1, tri_v2) -> WideStream:
         h = cnt // 2
         return [("l", first, h), ("l", first + h, cnt - h)]
 
+    def merge_adjacent_leaves(items):
+        """Merge sibling leaf ranges that are contiguous in leaf order and
+        fit one row — raises leaf-row occupancy (SAH min_leaf leaves average
+        well under 8 tris) and frees child slots for deeper expansion."""
+        def rng(it):
+            if it[0] == "l":
+                return it[1], it[2]
+            if count[it[1]] > 0:
+                return int(left_first[it[1]]), int(count[it[1]])
+            return None
+        changed = True
+        while changed:
+            changed = False
+            for i in range(len(items)):
+                a = rng(items[i])
+                if a is None:
+                    continue
+                for j in range(len(items)):
+                    if i == j:
+                        continue
+                    b = rng(items[j])
+                    if b is None:
+                        continue
+                    if a[0] + a[1] == b[0] and a[1] + b[1] <= LEAF_TRIS:
+                        items[i] = ("l", a[0], a[1] + b[1])
+                        del items[j]
+                        changed = True
+                        break
+                if changed:
+                    break
+        return items
+
     def make_children(root_items):
-        items = list(root_items)
+        items = merge_adjacent_leaves(list(root_items))
         while len(items) < WIDTH:
             cands = [i for i, it in enumerate(items) if expandable(it)]
             if not cands:
@@ -126,55 +166,70 @@ def build_wide_stream(bvh: BVH, tri_v0, tri_v1, tri_v2) -> WideStream:
     rows: list[np.ndarray] = []
     recs: list[np.ndarray] = []
 
-    def emit_leaf_rows(tri_slots):
-        """Merged leaf triangles of one node, chunked 8 per row."""
-        for c in range(0, len(tri_slots), LEAF_TRIS):
-            chunk = tri_slots[c: c + LEAF_TRIS]
-            row = np.zeros(LANE, np.float32)
-            rec = np.full(LEAF_TRIS, -1, np.int32)
-            for j, s in enumerate(chunk):
-                b = REC * j
-                row[b + 0: b + 3] = tv0[s]
-                row[b + 3: b + 6] = tv1[s] - tv0[s]
-                row[b + 6: b + 9] = tv2[s] - tv0[s]
-                rec[j] = s
-            meta = np.array([1, len(rows) + 1], np.int32)  # is_leaf, skip
-            row[IS_LEAF_LANE:SKIP_LANE + 1] = meta.view(np.float32)
-            rows.append(row)
-            recs.append(rec)
+    def emit_leaf_row(tri_slots) -> int:
+        """One leaf item -> one row (<= 8 tris); returns its position."""
+        pos = len(rows)
+        row = np.zeros(LANE, np.float32)
+        rec = np.full(LEAF_TRIS, -1, np.int32)
+        for j, s in enumerate(tri_slots):
+            b = REC * j
+            row[b + 0: b + 3] = tv0[s]
+            row[b + 3: b + 6] = tv1[s] - tv0[s]
+            row[b + 6: b + 9] = tv2[s] - tv0[s]
+            rec[j] = s
+        meta = np.array([1, pos + 1], np.int32)  # is_leaf, skip
+        row[IS_LEAF_LANE:SKIP_LANE + 1] = meta.view(np.float32)
+        rows.append(row)
+        recs.append(rec)
+        return pos
 
-    def emit_node(items):
+    depth_seen = [0]
+
+    def emit_node(items, depth=1):
+        depth_seen[0] = max(depth_seen[0], depth)
         pos = len(rows)
         rows.append(np.zeros(LANE, np.float32))  # placeholder
         recs.append(np.full(LEAF_TRIS, -1, np.int32))
 
         boxes = []
-        tri_slots: list[int] = []
-        interior: list[list] = []
-        for it in items:
+        child_pos: list[int] = []   # per slot: stream position
+        child_leaf: list[int] = []  # per slot: is_leaf flag
+        interior: list[tuple[int, list]] = []  # (slot, child items)
+        for k, it in enumerate(items):
             boxes.append(item_box(it))
             if it[0] == "n" and count[it[1]] == 0:
                 l = int(left_first[it[1]])
-                interior.append(make_children([("n", l), ("n", l + 1)]))
+                interior.append((k, make_children([("n", l), ("n", l + 1)])))
+                child_pos.append(-1)  # filled after recursion
+                child_leaf.append(0)
             else:
                 first, cnt = (int(left_first[it[1]]), int(count[it[1]])) \
                     if it[0] == "n" else (it[1], it[2])
-                tri_slots.extend(range(first, first + cnt))
+                child_pos.append(emit_leaf_row(range(first, first + cnt)))
+                child_leaf.append(1)
 
-        emit_leaf_rows(tri_slots)
-        for child_items in interior:
-            emit_node(child_items)
+        for k, child_items in interior:
+            child_pos[k] = emit_node(child_items, depth + 1)
 
         row = np.zeros(LANE, np.float32)
         for k, (lo, hi) in enumerate(boxes):
             row[REC * k + 0: REC * k + 3] = lo
             row[REC * k + 3: REC * k + 6] = hi
+            # per-slot child pointer + kind (register-stack kernel, v2)
+            row[REC * k + 6: REC * k + 8] = np.array(
+                [child_pos[k], child_leaf[k]], np.int32).view(np.float32)
         for k in range(len(boxes), WIDTH):
-            row[REC * k + 0: REC * k + 3] = _FAR
-            row[REC * k + 3: REC * k + 6] = -_FAR
+            # Empty slots carry NaN boxes: NaN propagates through the
+            # min/max slab chain and every comparison is false, so they can
+            # NEVER test as hit.  (An inverted lo=+FAR/hi=-FAR box is NOT
+            # safe: a negative direction component swaps the slabs and the
+            # test passes — which sent the register-stack walk into the
+            # slot's null child pointer.)
+            row[REC * k + 0: REC * k + 6] = np.nan
         meta = np.array([0, len(rows)], np.int32)  # is_leaf, skip
         row[IS_LEAF_LANE:SKIP_LANE + 1] = meta.view(np.float32)
         rows[pos] = row
+        return pos
 
     if count[0] > 0:
         root_items = make_children(
@@ -198,7 +253,7 @@ def build_wide_stream(bvh: BVH, tri_v0, tri_v1, tri_v2) -> WideStream:
     meta_i = stream[:, IS_LEAF_LANE].view(np.int32)
     n_leaf = int(meta_i[:n_entries].sum())
     return WideStream(stream, rec_slot, n_entries,
-                      n_entries - n_leaf, n_leaf)
+                      n_entries - n_leaf, n_leaf, depth_seen[0])
 
 
 # --------------------------------------------------------------------------

@@ -54,7 +54,14 @@ class RenderConfig(NamedTuple):
     stack_depth: int
     num_lights: int
     max_bounces: int | None = None  # None -> unbounded while_loop (forward only)
-    wave_limit: int = 8192          # safety cap for the unbounded loop
+    # Wave cap for the unbounded loop.  The reference never bounds path
+    # length, but RR only applies to diffuse lanes (renderer.cpp:446), so a
+    # handful of paths trapped between specular/dielectric surfaces can
+    # outlive everything else by thousands of waves; measured on the indoor
+    # scene, an uncapped loop spends ~95% of its wall-clock running ~8000
+    # near-empty zombie waves for <1e-4 of the image energy (transmission
+    # decays as albedo^bounces).  128 waves keeps the bias far below noise.
+    wave_limit: int = 128
     use_pallas: bool = False        # Pallas packet-traversal kernels (TPU)
     use_wide: bool = True           # 8-wide stream kernel (vs binary records)
     pallas_interpret: bool = False  # interpreter mode (CPU testing)
@@ -95,19 +102,27 @@ class PathState(NamedTuple):
     pixel: jnp.ndarray         # [N] int32
 
 
-def compact_paths(state: PathState, coherence: bool = True) -> PathState:
-    """Stream compaction: stable-sort lanes so live paths are contiguous at
-    the front.  The TPU-native replacement for the reference's atomicAdd
-    work queues (SURVEY.md §2.3 P3 'compaction via sort/prefix-sum'):
-    packet-traversal blocks whose lanes are all dead exit in O(1), so
-    occupancy decay (4096 -> 22 live lanes by wave 20 on the indoor scene)
-    stops costing full-width traversals.  RNG parity is unaffected — each
-    path carries its own seed stream and consumption is order-independent
-    across lanes.
+def compact_paths(state: PathState, coherence: bool = False) -> PathState:
+    """Stream compaction: stable-partition lanes so live paths are
+    contiguous at the front.  The TPU-native replacement for the
+    reference's atomicAdd work queues (SURVEY.md §2.3 P3 'compaction via
+    sort/prefix-sum'): packet-traversal blocks whose lanes are all dead
+    exit in O(1), so the long tail of waves (trapped specular paths decay
+    slowly — RR only kills diffuse lanes, renderer.cpp:446) stops paying
+    64 sparse full-walk blocks for a handful of live rays.
 
-    With ``coherence`` the live prefix is additionally ordered by direction
-    octant and a coarse origin cell, so packet-traversal blocks see rays
-    whose BVH subtrees overlap — the wavefront analog of ray re-binning."""
+    Implementation note (measured): ``jnp.argsort`` costs ~100ms/wave at
+    256^2 on v5e — the partition is instead built from two cumsums and ONE
+    int32 scatter (~1ms), then applied as gathers.  The partition is
+    stable, so the live prefix stays in pixel order (primary-ray coherence
+    is preserved for free).  RNG parity is unaffected — each path carries
+    its own seed stream, and lanes are restored to pixel order at the end
+    of the sample (render_sample).
+
+    ``coherence`` additionally orders the live prefix by direction octant +
+    coarse origin cell via a full sort — measurably not worth its cost on
+    the indoor scene (sim: 1.2x fewer node visits, sort >> benefit); kept
+    for experiments."""
     if coherence:
         d = state.direction
         octant = (
@@ -115,7 +130,6 @@ def compact_paths(state: PathState, coherence: bool = True) -> PathState:
             + 2 * (d[:, 1] >= 0).astype(jnp.int32)
             + 4 * (d[:, 2] >= 0).astype(jnp.int32)
         )
-        # 4x4x4 origin grid over a +-16 world box (scene-scale coarse bins)
         cell = jnp.clip(
             ((state.origin + jnp.float32(16.0)) * jnp.float32(4.0 / 32.0))
             .astype(jnp.int32), 0, 3
@@ -123,9 +137,19 @@ def compact_paths(state: PathState, coherence: bool = True) -> PathState:
         cell_id = cell[:, 0] + 4 * cell[:, 1] + 16 * cell[:, 2]
         key = octant * 64 + cell_id
         key = jnp.where(state.alive, key, jnp.int32(1 << 20))
+        perm = jnp.argsort(key, stable=True)
     else:
-        key = (~state.alive).astype(jnp.int32)
-    perm = jnp.argsort(key, stable=True)
+        alive = state.alive
+        n = alive.shape[0]
+        live_i = alive.astype(jnp.int32)
+        c_live = jnp.cumsum(live_i)
+        n_live = c_live[-1]
+        c_dead = jnp.cumsum(jnp.int32(1) - live_i)
+        pos = jnp.where(alive, c_live - 1, n_live + c_dead - 1)
+        perm = jnp.zeros(n, jnp.int32).at[pos].set(
+            jnp.arange(n, dtype=jnp.int32), unique_indices=True,
+            indices_are_sorted=False,
+        )
     return jax.tree.map(lambda x: jnp.take(x, perm, axis=0), state)
 
 
@@ -502,8 +526,12 @@ def render_sample(scene: RenderScene, cfg: RenderConfig, vp: ViewPlane,
         # an RR kill without compensation (bias ~0 for caps >= ~32).
 
     if cfg.compact:
-        # Restore pixel order for the per-pixel accumulator and seed streams.
-        order = jnp.argsort(state.pixel)
+        # Restore pixel order for the per-pixel accumulator and seed
+        # streams.  state.pixel is a permutation, so its inverse is one
+        # scatter (argsort would cost ~100ms at 256^2 on v5e).
+        n_ = state.pixel.shape[0]
+        order = jnp.zeros(n_, jnp.int32).at[state.pixel].set(
+            jnp.arange(n_, dtype=jnp.int32), unique_indices=True)
         return (
             jnp.take(state.seed, order),
             jnp.take(state.energy, order, axis=0),
@@ -601,7 +629,9 @@ def render_sample_instrumented(scene: RenderScene, cfg: RenderConfig,
     )
     deferred = jnp.sum(state.alive.astype(jnp.int32))
     if cfg.compact:
-        order = jnp.argsort(state.pixel)
+        n_ = state.pixel.shape[0]
+        order = jnp.zeros(n_, jnp.int32).at[state.pixel].set(
+            jnp.arange(n_, dtype=jnp.int32), unique_indices=True)
         seed_out = jnp.take(state.seed, order)
         energy = jnp.take(state.energy, order, axis=0)
     else:

@@ -107,6 +107,43 @@ def test_wide_anyhit_matches_xla(box):
     assert np.array_equal(np.asarray(hp.prim) >= 0, np.asarray(hx.prim) >= 0)
 
 
+def test_wide_stack_matches_skip(box):
+    """Register-stack walk vs skip-link walk: identical results (per-child
+    pruning only changes WHICH rows are visited, never the closest hit)."""
+    n = 2048
+    o, d = _rays(n, seed=7)
+    tmax = jnp.full(n, 1e30, jnp.float32)
+    act = jnp.ones(n, bool)
+    hs = traverse_wide(_wt(box), o, d, tmax, act, False, interpret=True,
+                       algo="skip")
+    hk = traverse_wide(_wt(box), o, d, tmax, act, False, interpret=True,
+                       algo="stack")
+    # exact-t ties (coincident geometry) may pick a different triangle —
+    # the two walks visit leaves in different orders
+    tie = np.asarray(hs.t) == np.asarray(hk.t)
+    assert (np.equal(np.asarray(hs.prim), np.asarray(hk.prim)) | tie).all()
+    assert np.array_equal(np.asarray(hs.t), np.asarray(hk.t))
+    ha_s = traverse_wide(_wt(box), o, d, jnp.full(n, 8.0, jnp.float32), act,
+                         True, interpret=True, algo="skip")
+    ha_k = traverse_wide(_wt(box), o, d, jnp.full(n, 8.0, jnp.float32), act,
+                         True, interpret=True, algo="stack")
+    assert np.array_equal(np.asarray(ha_s.prim) >= 0,
+                          np.asarray(ha_k.prim) >= 0)
+
+
+def test_wide_stack_matches_skip_indoor(indoor):
+    n = 2048
+    o, d = _rays(n, seed=8, span=3.0)
+    tmax = jnp.full(n, 1e30, jnp.float32)
+    act = jnp.ones(n, bool)
+    hs = traverse_wide(_wt(indoor), o, d, tmax, act, False, interpret=True,
+                       algo="skip")
+    hk = traverse_wide(_wt(indoor), o, d, tmax, act, False, interpret=True,
+                       algo="stack")
+    assert np.array_equal(np.asarray(hs.prim), np.asarray(hk.prim))
+    assert np.array_equal(np.asarray(hs.t), np.asarray(hk.t))
+
+
 def test_wide_inactive_lanes(box):
     n = 1024
     o, d = _rays(n, seed=2)
