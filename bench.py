@@ -51,7 +51,12 @@ def run_bench(width, height, spp, max_bounces, use_pallas, frames=3,
     cfg = RenderConfig.for_scene(
         host.static, width, height, spp_chunk, use_defocus=True,
         use_pallas=use_pallas,
-    )._replace(max_bounces=max_bounces, compact=use_pallas)
+    )._replace(
+        # Unbounded-mode while_loop with a wave cap: identical estimator to
+        # a fori over max_bounces (dead lanes are masked), but exits as
+        # soon as every path has terminated instead of paying all N waves.
+        max_bounces=None, wave_limit=max_bounces, compact=use_pallas,
+    )
 
     def frame(total_samples):
         seed = initial_seeds(cfg, total_samples)

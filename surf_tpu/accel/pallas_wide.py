@@ -81,6 +81,25 @@ def _walk_block(
 ):
     """Walk one (8,128) ray block down the stream; returns
     (visits, best_t, best_rec, best_u, best_v)."""
+    visit, init = _make_skip_visit(
+        ox, oy, oz, dx, dy, dz, tmax, act, stream_ref,
+        any_hit=any_hit, n_entries=n_entries)
+    n_e = jnp.int32(n_entries)
+
+    def cond(c):
+        return c[0] < n_e
+
+    def body(c):
+        return jax.lax.fori_loop(0, K_VISITS, visit, c)
+
+    _, it, best_t, best_r, best_u, best_v = jax.lax.while_loop(
+        cond, body, init)
+    return it, best_t, best_r, best_u, best_v
+
+
+def _make_skip_visit(ox, oy, oz, dx, dy, dz, tmax, act, stream_ref,
+                     *, any_hit: bool, n_entries: int):
+    """Build the skip-link visit body (closure over one ray block)."""
     inv_dx = jnp.float32(1.0) / dx
     inv_dy = jnp.float32(1.0) / dy
     inv_dz = jnp.float32(1.0) / dz
@@ -190,15 +209,32 @@ def _walk_block(
         it = it + jnp.where(valid, 1, 0)
         return new_p, it, best_t, best_r, best_u, best_v
 
+    return visit, init
+
+
+def _walk_block_pair(
+    rays0, rays1, stream_ref, *, any_hit: bool, n_entries: int,
+):
+    """Software-pipelined variant: two independent ray blocks advance in
+    ONE while_loop, their visits interleaved in program order so each
+    block's vector work can overlap the other's fetch->reduce->scalar
+    serialization.  Returns both blocks' results."""
+    v0, i0 = _make_skip_visit(*rays0, stream_ref, any_hit=any_hit,
+                              n_entries=n_entries)
+    v1, i1 = _make_skip_visit(*rays1, stream_ref, any_hit=any_hit,
+                              n_entries=n_entries)
+    n_e = jnp.int32(n_entries)
+
     def cond(c):
-        return c[0] < n_e
+        return (c[0][0] < n_e) | (c[1][0] < n_e)
 
     def body(c):
-        return jax.lax.fori_loop(0, K_VISITS, visit, c)
+        def both(_, c2):
+            return (v0(0, c2[0]), v1(0, c2[1]))
+        return jax.lax.fori_loop(0, K_VISITS, both, c)
 
-    _, it, best_t, best_r, best_u, best_v = jax.lax.while_loop(
-        cond, body, init)
-    return it, best_t, best_r, best_u, best_v
+    c0, c1 = jax.lax.while_loop(cond, body, (i0, i1))
+    return c0, c1
 
 
 STACK_DEPTH = 16  # >= wide-tree depth (one (row, pending-mask) per level)
@@ -399,6 +435,37 @@ def _kernel_multiblock(
     t_out, rec_out, u_out, v_out, it_out,
     *, any_hit: bool, n_entries: int, n_blocks: int, algo: str = "skip",
 ):
+    if algo == "skip2":
+        def rays(b):
+            return (ox_ref[b], oy_ref[b], oz_ref[b],
+                    dx_ref[b], dy_ref[b], dz_ref[b],
+                    tmax_ref[b], act_ref[b] != 0)
+
+        def write(b, c):
+            p, it, bt, br, bu, bv = c
+            t_out[b] = bt
+            rec_out[b] = br
+            u_out[b] = bu
+            v_out[b] = bv
+            it_out[b] = jnp.full((SUB, LANE), it, jnp.int32)
+
+        def pair(i, _):
+            b = 2 * i
+            c0, c1 = _walk_block_pair(
+                rays(b), rays(b + 1), stream_ref,
+                any_hit=any_hit, n_entries=n_entries)
+            write(b, c0)
+            write(b + 1, c1)
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks // 2, pair, 0)
+        if n_blocks % 2:
+            b = n_blocks - 1
+            it, bt, br, bu, bv = _walk_block(
+                *rays(b), stream_ref, any_hit=any_hit, n_entries=n_entries)
+            write(b, (0, it, bt, br, bu, bv))
+        return
+
     walk = _walk_block if algo == "skip" else _walk_block_stack
 
     def blk(b, _):

@@ -65,7 +65,11 @@ class RenderConfig(NamedTuple):
     use_pallas: bool = False        # Pallas packet-traversal kernels (TPU)
     use_wide: bool = True           # 8-wide stream kernel (vs binary records)
     pallas_interpret: bool = False  # interpreter mode (CPU testing)
-    compact: bool = False           # sort live paths to the front each wave
+    compact: bool = False           # partition live paths to the front
+    compact_every: int = 2          # ... on every k-th wave (cumsum+scatter
+                                    # cost scales with lane count; liveness
+                                    # decays ~25%/wave so every-other-wave
+                                    # keeps blocks nearly as dense)
     remat: bool = False             # checkpoint each wave (reverse-mode memory)
 
     @classmethod
@@ -495,9 +499,14 @@ def render_sample(scene: RenderScene, cfg: RenderConfig, vp: ViewPlane,
         pixel=jnp.arange(n, dtype=jnp.int32),
     )
 
-    def wave(s):
+    def wave(i, s):
         if cfg.compact:
-            s = compact_paths(s)
+            if cfg.compact_every > 1:
+                s = jax.lax.cond(
+                    i % cfg.compact_every == 0, compact_paths,
+                    lambda x: x, s)
+            else:
+                s = compact_paths(s)
         return bounce_step(scene, cfg, s)
 
     if cfg.remat:
@@ -514,12 +523,12 @@ def render_sample(scene: RenderScene, cfg: RenderConfig, vp: ViewPlane,
 
         def body(carry):
             i, s = carry
-            return i + 1, wave(s)
+            return i + 1, wave(i, s)
 
         _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state))
     else:
-        def body(_, s):
-            return wave(s)
+        def body(i, s):
+            return wave(i, s)
 
         state = jax.lax.fori_loop(0, cfg.max_bounces, body, state)
         # Paths still alive at the cap contribute nothing further — matches

@@ -131,7 +131,8 @@ def test_wide_stack_matches_skip(box):
                           np.asarray(ha_k.prim) >= 0)
 
 
-def test_wide_stack_matches_skip_indoor(indoor):
+@pytest.mark.parametrize("algo", ["stack", "skip2"])
+def test_wide_algos_match_skip_indoor(indoor, algo):
     n = 2048
     o, d = _rays(n, seed=8, span=3.0)
     tmax = jnp.full(n, 1e30, jnp.float32)
@@ -139,9 +140,21 @@ def test_wide_stack_matches_skip_indoor(indoor):
     hs = traverse_wide(_wt(indoor), o, d, tmax, act, False, interpret=True,
                        algo="skip")
     hk = traverse_wide(_wt(indoor), o, d, tmax, act, False, interpret=True,
-                       algo="stack")
+                       algo=algo)
     assert np.array_equal(np.asarray(hs.prim), np.asarray(hk.prim))
     assert np.array_equal(np.asarray(hs.t), np.asarray(hk.t))
+
+
+def test_wide_skip2_odd_blocks(indoor):
+    n = 3 * 1024  # odd number of blocks exercises the tail walk
+    o, d = _rays(n, seed=9, span=3.0)
+    tmax = jnp.full(n, 1e30, jnp.float32)
+    act = jnp.ones(n, bool)
+    hs = traverse_wide(_wt(indoor), o, d, tmax, act, False, interpret=True,
+                       algo="skip")
+    hk = traverse_wide(_wt(indoor), o, d, tmax, act, False, interpret=True,
+                       algo="skip2")
+    assert np.array_equal(np.asarray(hs.prim), np.asarray(hk.prim))
 
 
 def test_wide_inactive_lanes(box):
