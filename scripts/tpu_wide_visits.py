@@ -45,7 +45,7 @@ def main():
     d2 = d2 / jnp.linalg.norm(d2, axis=1, keepdims=True)
     o2 = jax.random.uniform(jax.random.PRNGKey(1), (n, 3), minval=-3.0, maxval=3.0)
 
-    algos = ["stack"] if "--stack" in sys.argv else ["skip", "stack"]
+    algos = ["skip", "skip2"] if "--skip2" in sys.argv else (["stack"] if "--stack" in sys.argv else ["skip", "stack"])
     for algo in algos:
         fv = jax.jit(lambda o, d, a=algo: traverse_wide(
             wt, o, d, tmax, act, any_hit=False, return_visits=True, algo=a))
