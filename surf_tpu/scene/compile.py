@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..accel import builder
-from ..accel.wide import build_wide_stream
+from ..accel.wide import build_wide_stream, refit_wide_stream
 from ..accel.traverse import (
     TraceArrays,
     build_skiplinks,
@@ -153,21 +153,28 @@ class HostCompiled:
             # (accel/wide.py); bound leaf size accordingly.
             max_leaf=8,
         )
+        self._ws = None  # topology changed: full wide-stream rebuild
         self._refresh_device()
 
     def _refit_bvh(self):
         lo, hi = builder.triangle_bounds(self.samp_v0, self.samp_v1, self.samp_v2)
         self.bvh = builder.refit(self.bvh, lo, hi)
-        self._refresh_device()
+        self._refresh_device(refit_only=True)
 
-    def _refresh_device(self):
+    def _refresh_device(self, refit_only: bool = False):
         perm = self.bvh.indices.astype(np.int64)
         boxes, meta = build_skiplinks(self.bvh)
         tv0 = self.samp_v0[perm]
         tv1 = self.samp_v1[perm]
         tv2 = self.samp_v2[perm]
         nodes_packed, tris_packed = pack_trace_tables(tv0, tv1, tv2, boxes, meta)
-        ws = build_wide_stream(self.bvh, tv0, tv1, tv2)
+        if refit_only and getattr(self, "_ws", None) is not None:
+            # Animation fast path: same topology, new vertices/boxes
+            # (GPUScene::update analog, scene.cpp:267-282).
+            ws = refit_wide_stream(self._ws, self.bvh, tv0, tv1, tv2)
+        else:
+            ws = build_wide_stream(self.bvh, tv0, tv1, tv2)
+        self._ws = ws
         scene = self.scene
         bg = scene.background
         light_inst = np.asarray(scene.light_indices, np.int32)
