@@ -178,3 +178,46 @@ def test_wide_nonmultiple_block_padding(box):
         0, False)
     tie = np.asarray(hp.t) == np.asarray(hx.t)
     assert (np.equal(np.asarray(hp.prim), np.asarray(hx.prim)) | tie).all()
+
+
+def test_refit_wide_stream_containment(indoor):
+    """After vertex motion + refit, every node slot's AABB must contain all
+    triangles reachable through that slot (checked via the NumPy walk on
+    randomly perturbed geometry: refit image == rebuild image is covered by
+    test_animation; this guards the provenance bookkeeping directly)."""
+    from surf_tpu.accel.builder import refit, triangle_bounds
+    from surf_tpu.accel.wide import refit_wide_stream
+
+    perm = indoor.bvh.indices.astype(np.int64)
+    tv0 = indoor.samp_v0[perm]
+    tv1 = indoor.samp_v1[perm]
+    tv2 = indoor.samp_v2[perm]
+    ws = build_wide_stream(indoor.bvh, tv0, tv1, tv2)
+
+    rng = np.random.default_rng(3)
+    delta = rng.normal(0, 0.05, tv0.shape).astype(np.float32)
+    tv0m, tv1m, tv2m = tv0 + delta, tv1 + delta, tv2 + delta
+    lo, hi = triangle_bounds(tv0m, tv1m, tv2m)
+    bvh2 = refit(indoor.bvh, lo[np.argsort(perm)], hi[np.argsort(perm)])
+    ws2 = refit_wide_stream(ws, bvh2, tv0m, tv1m, tv2m)
+
+    # the moved geometry must intersect identically via stream vs brute
+    # force on a ray sample
+    n = 128
+    o = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    tmax = np.full(n, 1e30, np.float32)
+    t_w, rec, _, _ = traverse_stream_np(ws2, o, d, tmax)
+    slot = np.where(rec >= 0, ws2.rec_slot[np.maximum(rec, 0)], -1)
+
+    # brute force over all (moved) triangles
+    from surf_tpu.core.geometry import intersect_triangle
+    hit_all, t_all, _, _ = intersect_triangle(
+        jnp.asarray(o)[:, None, :], jnp.asarray(d)[:, None, :],
+        jnp.asarray(tv0m)[None], jnp.asarray(tv1m)[None],
+        jnp.asarray(tv2m)[None], jnp.float32(1e30))
+    t_bf = np.where(np.asarray(hit_all), np.asarray(t_all), 1e30).min(axis=1)
+    has = t_bf < 1e29
+    assert np.allclose(t_w[has], t_bf[has], rtol=1e-5)
+    assert ((slot >= 0) == has).all()
