@@ -66,7 +66,7 @@ class RenderConfig(NamedTuple):
     use_wide: bool = True           # 8-wide stream kernel (vs binary records)
     pallas_interpret: bool = False  # interpreter mode (CPU testing)
     compact: bool = False           # partition live paths to the front
-    compact_every: int = 2          # ... on every k-th wave (cumsum+scatter
+    compact_every: int = 4          # ... on every k-th wave (cumsum+scatter
                                     # cost scales with lane count; liveness
                                     # decays ~25%/wave so every-other-wave
                                     # keeps blocks nearly as dense)
