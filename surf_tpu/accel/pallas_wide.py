@@ -67,14 +67,6 @@ def device_wide_trace(ws: WideStream) -> WideTrace:
     )
 
 
-def _c_min(a, b):
-    return jnp.where(a < b, a, b)
-
-
-def _c_max(a, b):
-    return jnp.where(a > b, a, b)
-
-
 def _walk_block(
     ox, oy, oz, dx, dy, dz, tmax, act,
     stream_ref, *, any_hit: bool, n_entries: int,
@@ -130,9 +122,10 @@ def _make_skip_visit(ox, oy, oz, dx, dy, dz, tmax, act, stream_ref,
 
         # ---- node interpretation: 8 child slab tests -------------------
         # jnp.minimum/maximum (1 op) instead of the C-style where-chains
-        # (2 ops): NaN operands (0 * inf) are impossible because
-        # traverse_wide sanitizes zero direction components, so IEEE and
-        # C-style min/max agree.
+        # (2 ops): 0*inf NaNs are impossible because traverse_wide
+        # sanitizes zero direction components, so IEEE and C-style min/max
+        # agree on real boxes; EMPTY slots carry deliberate NaN boxes that
+        # propagate and fail every comparison (never hit).
         anyh = jnp.zeros((SUB, LANE), dtype=bool)
         for k in range(WIDTH):
             b = REC * k
