@@ -221,3 +221,39 @@ def test_refit_wide_stream_containment(indoor):
     has = t_bf < 1e29
     assert np.allclose(t_w[has], t_bf[has], rtol=1e-5)
     assert ((slot >= 0) == has).all()
+
+
+@pytest.mark.parametrize("n_tris,seed", [(1, 0), (8, 1), (9, 2), (64, 3),
+                                          (500, 4)])
+def test_stream_random_soups_vs_brute_force(n_tris, seed):
+    """Property test: stream walk == brute force on random triangle soups,
+    including sizes around the 8-tri leaf-row boundary and clustered
+    centroids (which exercise enforce_max_leaf)."""
+    from surf_tpu.accel.builder import build_blas
+    from surf_tpu.core.geometry import intersect_triangle
+
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(-5, 5, (n_tris, 1, 3)).astype(np.float32)
+    if seed == 4:
+        base[: n_tris // 2] = base[0]  # clustered centroids -> fat SAH leaf
+    tris = base + rng.normal(0, 0.4, (n_tris, 3, 3)).astype(np.float32)
+    v0, v1, v2 = tris[:, 0], tris[:, 1], tris[:, 2]
+    bvh = build_blas(v0, v1, v2, min_leaf=4, max_leaf=8)
+    perm = bvh.indices.astype(np.int64)
+    ws = build_wide_stream(bvh, v0[perm], v1[perm], v2[perm])
+    assert (ws.rec_slot >= 0).sum() == n_tris
+
+    n = 256
+    o = rng.uniform(-8, 8, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    t_w, rec, _, _ = traverse_stream_np(ws, o, d,
+                                        np.full(n, 1e30, np.float32))
+    hit_all, t_all, _, _ = intersect_triangle(
+        jnp.asarray(o)[:, None, :], jnp.asarray(d)[:, None, :],
+        jnp.asarray(v0[perm])[None], jnp.asarray(v1[perm])[None],
+        jnp.asarray(v2[perm])[None], jnp.float32(1e30))
+    t_bf = np.where(np.asarray(hit_all), np.asarray(t_all), 1e30).min(axis=1)
+    has = t_bf < 1e29
+    assert np.allclose(t_w[has], t_bf[has], rtol=1e-5)
+    assert ((rec >= 0) == has).all()
