@@ -79,6 +79,19 @@ class WideStream(NamedTuple):
     slot_b: np.ndarray | None = None     # [E, 8] int32
 
 
+def _fill_leaf_rows(stream, rec_slot, tv0, tv1, tv2):
+    """Vectorized in-place write of every leaf record's (v0, e1, e2) from
+    leaf-ordered vertices (used by both build and refit)."""
+    valid = rec_slot >= 0
+    rows_idx = np.nonzero(valid)[0] // LEAF_TRIS
+    lane0 = (np.nonzero(valid)[0] % LEAF_TRIS) * REC
+    slots = rec_slot[valid]
+    for c in range(3):
+        stream[rows_idx, lane0 + 0 + c] = tv0[slots, c]
+        stream[rows_idx, lane0 + 3 + c] = tv1[slots, c] - tv0[slots, c]
+        stream[rows_idx, lane0 + 6 + c] = tv2[slots, c] - tv0[slots, c]
+
+
 def build_wide_stream(bvh: BVH, tri_v0, tri_v1, tri_v2) -> WideStream:
     """Collapse a binary BVH over *leaf-ordered* triangles (vertices already
     permuted by ``bvh.indices``) into the wide DFS stream."""
@@ -174,16 +187,12 @@ def build_wide_stream(bvh: BVH, tri_v0, tri_v1, tri_v2) -> WideStream:
     provenance: list[tuple[int, int, int, int, int]] = []  # row,slot,kind,a,b
 
     def emit_leaf_row(tri_slots) -> int:
-        """One leaf item -> one row (<= 8 tris); returns its position."""
+        """One leaf item -> one row (<= 8 tris); returns its position.
+        Triangle data is filled vectorized afterwards (_fill_leaf_rows)."""
         pos = len(rows)
         row = np.zeros(LANE, np.float32)
         rec = np.full(LEAF_TRIS, -1, np.int32)
-        for j, s in enumerate(tri_slots):
-            b = REC * j
-            row[b + 0: b + 3] = tv0[s]
-            row[b + 3: b + 6] = tv1[s] - tv0[s]
-            row[b + 6: b + 9] = tv2[s] - tv0[s]
-            rec[j] = s
+        rec[: len(tri_slots)] = tri_slots
         meta = np.array([1, pos + 1], np.int32)  # is_leaf, skip
         row[IS_LEAF_LANE:SKIP_LANE + 1] = meta.view(np.float32)
         rows.append(row)
@@ -259,6 +268,7 @@ def build_wide_stream(bvh: BVH, tri_v0, tri_v1, tri_v2) -> WideStream:
 
     stream = np.stack(rows).astype(np.float32)
     rec_slot = np.concatenate(recs).astype(np.int32)
+    _fill_leaf_rows(stream, rec_slot, tv0, tv1, tv2)
     meta_i = stream[:, IS_LEAF_LANE].view(np.int32)
     n_leaf = int(meta_i[:n_entries].sum())
     e_pad = stream.shape[0]
@@ -287,15 +297,7 @@ def refit_wide_stream(ws: WideStream, bvh: BVH,
     stream = ws.stream.copy()
 
     # --- leaf rows: rewrite all triangle records in one shot -------------
-    rec = ws.rec_slot
-    valid = rec >= 0
-    rows_idx = np.nonzero(valid)[0] // LEAF_TRIS
-    lane0 = (np.nonzero(valid)[0] % LEAF_TRIS) * REC
-    slots = rec[valid]
-    for c in range(3):
-        stream[rows_idx, lane0 + 0 + c] = tv0[slots, c]
-        stream[rows_idx, lane0 + 3 + c] = tv1[slots, c] - tv0[slots, c]
-        stream[rows_idx, lane0 + 6 + c] = tv2[slots, c] - tv0[slots, c]
+    _fill_leaf_rows(stream, ws.rec_slot, tv0, tv1, tv2)
 
     # --- node rows: child boxes from refit binary nodes / leaf ranges ----
     tlo, thi = triangle_bounds(tv0, tv1, tv2)
