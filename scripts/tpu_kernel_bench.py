@@ -76,11 +76,16 @@ def main():
         ws = build_wide_stream(host.bvh, host.samp_v0[perm],
                                host.samp_v1[perm], host.samp_v2[perm])
         wt = device_wide_trace(ws)
-        fw = jax.jit(lambda o, d, t, a: traverse_wide(
-            wt, o, d, t, a, any_hit=False))
-        fwa = jax.jit(lambda o, d, t, a: traverse_wide(
-            wt, o, d, t, a, any_hit=True))
-        kernels.append(("wide", fw, fwa))
+        algos = ["skip"]
+        for a in sys.argv:
+            if a.startswith("--algo="):
+                algos = a.split("=", 1)[1].split(",")
+        for algo in algos:
+            fw = jax.jit(lambda o, d, t, a, algo=algo: traverse_wide(
+                wt, o, d, t, a, any_hit=False, algo=algo))
+            fwa = jax.jit(lambda o, d, t, a, algo=algo: traverse_wide(
+                wt, o, d, t, a, any_hit=True, algo=algo))
+            kernels.append((f"wide[{algo}]", fw, fwa))
 
     results = {}
     for name, fc, fay in kernels:
@@ -94,7 +99,18 @@ def main():
                          np.asarray(hit_i.t), np.asarray(hit_i.prim),
                          np.asarray(hit_a.prim) >= 0)
 
-    if len(results) == 2:
+    names = list(results)
+    for other in names[1:]:
+        a, b = results[names[0]], results[other]
+        agree_c = float(np.mean(np.isclose(a[0], b[0], rtol=1e-5) |
+                                (a[1] < 0) & (b[1] < 0)))
+        agree_i = float(np.mean(np.isclose(a[2], b[2], rtol=1e-5) |
+                                (a[3] < 0) & (b[3] < 0)))
+        agree_a = float(np.mean(a[4] == b[4]))
+        print(f"{other}-vs-{names[0]} agreement: coherent t {agree_c:.6f} "
+              f"incoherent t {agree_i:.6f} anyhit {agree_a:.6f}", flush=True)
+
+    if False and len(results) == 2:
         a, b = results["binary"], results["wide"]
         agree_c = float(np.mean(np.isclose(a[0], b[0], rtol=1e-5) |
                                 (a[1] < 0) & (b[1] < 0)))

@@ -230,6 +230,178 @@ def _walk_block_pair(
     return c0, c1
 
 
+def _walk_block_spec(
+    ox, oy, oz, dx, dy, dz, tmax, act,
+    stream_ref, *, any_hit: bool, n_entries: int, w_spec: int,
+):
+    """Speculative W-row visits: the skip-link walk's per-visit cost is the
+    serialized chain  fetch -> slab masks -> any-reduce -> scalar cursor ->
+    next fetch  (the VPU->scalar handoff dominates; row math is nearly free
+    by comparison — scripts/tpu_leaf_micro.py / tpu_spec_micro.py).  One
+    visit therefore fetches W CONSECUTIVE rows (addresses base..base+W-1
+    are scalar-known immediately), evaluates all of them against the
+    visit-start best state as independent vector work, and resolves the
+    actual path taken in ONE scalar phase reading all W reduces.
+
+    DFS-preorder makes "+1" the common transition (leaf rows always, node
+    rows on descend), so most speculated rows are on-path: on the indoor
+    scene 69%/58%/45% of serialized visits remain at W=2/3/4 for 1.1/1.2/
+    1.3x the row work (scripts/sim_spec_visits.py).
+
+    Correctness notes:
+    - EVERY speculated row's leaf hits are merged UNCONDITIONALLY (even
+      rows the sequential walk would skip).  Sound: a subtree is pruned
+      only when every ray's slab tmin >= its best_t at prune time, best_t
+      decreases monotonically, and every tri inside satisfies t >= tmin —
+      so an off-path tri can never beat the final best; the strict-< merge
+      rejects it for free.  Only NODE rows (whose lanes reinterpret as
+      garbage tri data) need killing, and is_leaf is a scalar LOAD (the
+      scalar unit runs ahead of the VPU on loads), applied as a t-penalty
+      (+1e30) — never a scalar->vector boolean mask (Mosaic (1,1)->(8,128)
+      broadcasts are unimplemented/slow).  The reduces therefore feed ONLY
+      the cursor, exactly like algo="skip" — one drain per W rows.
+    - Rows are evaluated/merged in stream order within the window, so the
+      running best_t each row sees matches the sequential walk's (only
+      EXTRA rows are added, per the argument above).  Exact-t ties against
+      an early-merged off-path tri could pick the other coincident
+      triangle — edge-measure-zero, same as the stack-vs-skip caveat.
+    - The cursor is monotonically increasing (skip links point forward,
+      +1 otherwise), so iterations stay bounded by the stream length; the
+      max(nxt, p+1) belt keeps that provable under any miscompile.
+    - any_hit early-exit moves from per-visit to the (already draining)
+      while cond: up to K_VISITS*W rows of masked overshoot, no result
+      change."""
+    inv_dx = jnp.float32(1.0) / dx
+    inv_dy = jnp.float32(1.0) / dy
+    inv_dz = jnp.float32(1.0) / dz
+    n_e = jnp.int32(n_entries)
+
+    init = (
+        jnp.where(jnp.any(act), jnp.int32(0), n_e),
+        jnp.int32(0),
+        tmax,
+        jnp.full((SUB, LANE), -1, jnp.int32),
+        jnp.zeros((SUB, LANE), jnp.float32),
+        jnp.zeros((SUB, LANE), jnp.float32),
+    )
+
+    def visit(_, c):
+        p, it, best_t, best_r, best_u, best_v = c
+        base = jnp.minimum(p, n_e - 1)
+
+        # ---- vector phase: evaluate + merge W consecutive rows ----------
+        ctrl = []  # per row: (desc, leaf, skip) scalars for the cursor
+        for w in range(w_spec):
+            pcw = jnp.minimum(base + w, n_e - 1)
+            row = stream_ref[pl.ds(pcw, 1), :]
+            row_i = pltpu.bitcast(row, jnp.int32)
+            leaf_w = row_i[0, IS_LEAF_LANE] == 1
+            skip_w = row_i[0, SKIP_LANE]
+            # node-row garbage killed by a scalar-load penalty; leaf rows
+            # get pen == 0.0 so t_eff == t bit-exactly
+            pen = jnp.where(leaf_w, jnp.float32(0.0), _FAR)
+
+            if any_hit:
+                live = act & (best_r < 0)
+            else:
+                live = act
+
+            anyh = jnp.zeros((SUB, LANE), dtype=bool)
+            for k in range(WIDTH):
+                b = REC * k
+                lo_x = row[0, b + 0]
+                lo_y = row[0, b + 1]
+                lo_z = row[0, b + 2]
+                hi_x = row[0, b + 3]
+                hi_y = row[0, b + 4]
+                hi_z = row[0, b + 5]
+                tx_n = (lo_x - ox) * inv_dx
+                tx_f = (hi_x - ox) * inv_dx
+                tmin = jnp.minimum(tx_n, tx_f)
+                tmax_ = jnp.maximum(tx_n, tx_f)
+                ty_n = (lo_y - oy) * inv_dy
+                ty_f = (hi_y - oy) * inv_dy
+                tmin = jnp.maximum(tmin, jnp.minimum(ty_n, ty_f))
+                tmax_ = jnp.minimum(tmax_, jnp.maximum(ty_n, ty_f))
+                tz_n = (lo_z - oz) * inv_dz
+                tz_f = (hi_z - oz) * inv_dz
+                tmin = jnp.maximum(tmin, jnp.minimum(tz_n, tz_f))
+                tmax_ = jnp.minimum(tmax_, jnp.maximum(tz_n, tz_f))
+                anyh = anyh | (
+                    (tmax_ >= tmin) & (tmin < best_t)
+                    & (tmax_ > jnp.float32(0.0))
+                )
+            desc_w = jnp.any(anyh & live)
+            ctrl.append((desc_w, leaf_w, skip_w))
+
+            for j in range(WIDTH):
+                b = REC * j
+                v0x = row[0, b + 0]
+                v0y = row[0, b + 1]
+                v0z = row[0, b + 2]
+                e1x = row[0, b + 3]
+                e1y = row[0, b + 4]
+                e1z = row[0, b + 5]
+                e2x = row[0, b + 6]
+                e2y = row[0, b + 7]
+                e2z = row[0, b + 8]
+                hx = dy * e2z - dz * e2y
+                hy = dz * e2x - dx * e2z
+                hz = dx * e2y - dy * e2x
+                a = e1x * hx + e1y * hy + e1z * hz
+                f = jnp.float32(1.0) / a
+                sx = ox - v0x
+                sy = oy - v0y
+                sz = oz - v0z
+                u = f * (sx * hx + sy * hy + sz * hz)
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                v = f * (dx * qx + dy * qy + dz * qz)
+                t = f * (e2x * qx + e2y * qy + e2z * qz) + pen
+                hit = (
+                    (jnp.abs(a) >= _EPS)
+                    & (u >= 0.0) & (u <= 1.0)
+                    & (v >= 0.0) & (u + v <= 1.0)
+                    & (t >= _EPS) & (t < best_t)
+                    & live
+                )
+                best_t = jnp.where(hit, t, best_t)
+                best_r = jnp.where(hit, pcw * LEAF_TRIS + j, best_r)
+                best_u = jnp.where(hit, u, best_u)
+                best_v = jnp.where(hit, v, best_v)
+                if any_hit:
+                    live = live & (best_r < 0)
+
+        # ---- scalar phase: resolve the cursor from the W reduces --------
+        on = p < n_e
+        nxt = base
+        n_on = jnp.int32(0)
+        for w in range(w_spec):
+            desc_w, leaf_w, skip_w = ctrl[w]
+            on_w = on & (nxt == base + w) & (base + w < n_e)
+            step_w = jnp.where(leaf_w | desc_w, base + w + 1, skip_w)
+            nxt = jnp.where(on_w, step_w, nxt)
+            n_on = n_on + jnp.where(on_w, jnp.int32(1), jnp.int32(0))
+
+        new_p = jnp.maximum(nxt, p + 1)  # provable progress (wedge guard)
+        new_p = jnp.where(p < n_e, new_p, p)
+        return new_p, it + n_on, best_t, best_r, best_u, best_v
+
+    def cond(c):
+        ok = c[0] < n_e
+        if any_hit:
+            ok = ok & jnp.any(act & (c[3] < 0))
+        return ok
+
+    def body(c):
+        return jax.lax.fori_loop(0, K_VISITS, visit, c)
+
+    _, it, best_t, best_r, best_u, best_v = jax.lax.while_loop(
+        cond, body, init)
+    return it, best_t, best_r, best_u, best_v
+
+
 STACK_DEPTH = 16  # >= wide-tree depth (one (row, pending-mask) per level)
 
 
@@ -459,7 +631,12 @@ def _kernel_multiblock(
             write(b, (0, it, bt, br, bu, bv))
         return
 
-    walk = _walk_block if algo == "skip" else _walk_block_stack
+    if algo.startswith("spec"):
+        walk = functools.partial(_walk_block_spec, w_spec=int(algo[4:]))
+    elif algo == "stack":
+        walk = _walk_block_stack
+    else:
+        walk = _walk_block
 
     def blk(b, _):
         it, bt, br, bu, bv = walk(

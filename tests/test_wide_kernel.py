@@ -131,7 +131,7 @@ def test_wide_stack_matches_skip(box):
                           np.asarray(ha_k.prim) >= 0)
 
 
-@pytest.mark.parametrize("algo", ["stack", "skip2"])
+@pytest.mark.parametrize("algo", ["stack", "skip2", "spec2", "spec4"])
 def test_wide_algos_match_skip_indoor(indoor, algo):
     n = 2048
     o, d = _rays(n, seed=8, span=3.0)
@@ -143,6 +143,12 @@ def test_wide_algos_match_skip_indoor(indoor, algo):
                        algo=algo)
     assert np.array_equal(np.asarray(hs.prim), np.asarray(hk.prim))
     assert np.array_equal(np.asarray(hs.t), np.asarray(hk.t))
+    ha_s = traverse_wide(_wt(indoor), o, d, jnp.full(n, 8.0, jnp.float32),
+                         act, True, interpret=True, algo="skip")
+    ha_k = traverse_wide(_wt(indoor), o, d, jnp.full(n, 8.0, jnp.float32),
+                         act, True, interpret=True, algo=algo)
+    assert np.array_equal(np.asarray(ha_s.prim) >= 0,
+                          np.asarray(ha_k.prim) >= 0)
 
 
 def test_wide_skip2_odd_blocks(indoor):
