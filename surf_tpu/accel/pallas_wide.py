@@ -49,21 +49,28 @@ K_VISITS = 32   # visits per while-loop condition check
 
 _EPS = np.float32(1e-5)
 _FAR = np.float32(1e30)
+_QNAN = np.float32(np.nan)
 
 
 class WideTrace(NamedTuple):
     """Device-resident stream (jnp pytree).  The walk bound is the padded
     row count — padding rows are inert zero-triangle leaf rows, so walking
-    them is a masked no-op (at most 7 extra visits)."""
+    them is a masked no-op (at most 7 extra visits).
+
+    ``max_depth`` is the wide node-tree depth (a plain Python int, NOT a
+    traced leaf — it sizes the algo="stack" unrolled register stack at
+    trace time; 0 = unknown, falls back to STACK_DEPTH)."""
 
     stream: jnp.ndarray    # [E_pad, 128] f32
     rec_slot: jnp.ndarray  # [E_pad * 8] int32
+    max_depth: int = 0
 
 
 def device_wide_trace(ws: WideStream) -> WideTrace:
     return WideTrace(
         stream=jnp.asarray(ws.stream),
         rec_slot=jnp.asarray(ws.rec_slot),
+        max_depth=int(ws.max_depth),
     )
 
 
@@ -257,7 +264,7 @@ def _walk_block_spec(
       rejects it for free.  Only NODE rows (whose lanes reinterpret as
       garbage tri data) need killing, and is_leaf is a scalar LOAD (the
       scalar unit runs ahead of the VPU on loads), applied as a t-penalty
-      (+1e30) — never a scalar->vector boolean mask (Mosaic (1,1)->(8,128)
+      (NaN) — never a scalar->vector boolean mask (Mosaic (1,1)->(8,128)
       broadcasts are unimplemented/slow).  The reduces therefore feed ONLY
       the cursor, exactly like algo="skip" — one drain per W rows.
     - Rows are evaluated/merged in stream order within the window, so the
@@ -297,9 +304,12 @@ def _walk_block_spec(
             row_i = pltpu.bitcast(row, jnp.int32)
             leaf_w = row_i[0, IS_LEAF_LANE] == 1
             skip_w = row_i[0, SKIP_LANE]
-            # node-row garbage killed by a scalar-load penalty; leaf rows
-            # get pen == 0.0 so t_eff == t bit-exactly
-            pen = jnp.where(leaf_w, jnp.float32(0.0), _FAR)
+            # Node-row garbage killed by a scalar-load penalty; leaf rows
+            # get pen == 0.0 so t_eff == t bit-exactly.  The penalty is NaN
+            # (not +/-1e30): t_eff = t + NaN fails every comparison for ANY
+            # garbage t (a +1e30 bias admits false hits when the raw t lands
+            # in [-1e30, 0), and callers may pass t_max = inf).
+            pen = jnp.where(leaf_w, jnp.float32(0.0), _QNAN)
 
             if any_hit:
                 live = act & (best_r < 0)
@@ -402,12 +412,168 @@ def _walk_block_spec(
     return it, best_t, best_r, best_u, best_v
 
 
-STACK_DEPTH = 16  # >= wide-tree depth (one (row, pending-mask) per level)
+def _walk_block_specb(
+    ox, oy, oz, dx, dy, dz, tmax, act,
+    stream_ref, *, any_hit: bool, n_entries: int, w_spec: int,
+    k_visits: int = 8,
+):
+    """Speculative window walk with ONE (W,128) BLOCK FETCH per visit —
+    the v3 hot path, shaped by the slope-protocol decomposition
+    (scripts/tpu_cost_micro.py, v5e 2026-08-18):
+
+        dynamic-sublane fetch      ~130 ns/row   <- dominates the skip walk
+        slab math + its extracts     ~0          (hides under the fetch)
+        MT math                    ~170 ns/row   (VPU-issue-bound)
+        block fetch of (8,128)      ~16 ns/row   (130/8, measured bf8)
+
+    One visit fetches rows [base, base+W) as a single (W,128) dynamic
+    sublane slice (one ~130 ns fetch instead of W), evaluates every row
+    against the visit-start state, and resolves the cursor through the W
+    per-row (desc, leaf, skip) scalars in one trailing phase — i.e. the
+    reduce->cursor->fetch serialization is paid once per W rows
+    (sim_spec_visits: W=8 keeps 0.196x the serialized visits for 1.57x
+    the row work on the indoor scene).
+
+    Soundness is the same argument as _walk_block_spec (merges of extra
+    rows are harmless under the strict-< best_t merge; node-row garbage is
+    killed by a scalar NaN t-penalty), with one addition: near the stream
+    end base clamps to n_entries - W, so the window may REVISIT rows before
+    p — idempotent under strict-<, and the cursor resolve starts at nxt=p
+    so pre-p rows never steer the walk."""
+    inv_dx = jnp.float32(1.0) / dx
+    inv_dy = jnp.float32(1.0) / dy
+    inv_dz = jnp.float32(1.0) / dz
+    n_e = jnp.int32(n_entries)
+    assert n_entries >= w_spec, "stream shorter than the spec window"
+
+    init = (
+        jnp.where(jnp.any(act), jnp.int32(0), n_e),
+        jnp.int32(0),
+        tmax,
+        jnp.full((SUB, LANE), -1, jnp.int32),
+        jnp.zeros((SUB, LANE), jnp.float32),
+        jnp.zeros((SUB, LANE), jnp.float32),
+    )
+
+    def visit(_, c):
+        p, it, best_t, best_r, best_u, best_v = c
+        base = jnp.clip(p, 0, n_e - w_spec)
+        rows = stream_ref[pl.ds(base, w_spec), :]   # ONE block fetch
+        rows_i = pltpu.bitcast(rows, jnp.int32)
+
+        ctrl = []  # per row: (desc, leaf, skip) scalars for the cursor
+        for w in range(w_spec):
+            leaf_w = rows_i[w, IS_LEAF_LANE] == 1
+            skip_w = rows_i[w, SKIP_LANE]
+            pen = jnp.where(leaf_w, jnp.float32(0.0), _QNAN)
+
+            if any_hit:
+                live = act & (best_r < 0)
+            else:
+                live = act
+
+            anyh = jnp.zeros((SUB, LANE), dtype=bool)
+            for k in range(WIDTH):
+                b = REC * k
+                lo_x = rows[w, b + 0]
+                lo_y = rows[w, b + 1]
+                lo_z = rows[w, b + 2]
+                hi_x = rows[w, b + 3]
+                hi_y = rows[w, b + 4]
+                hi_z = rows[w, b + 5]
+                tx_n = (lo_x - ox) * inv_dx
+                tx_f = (hi_x - ox) * inv_dx
+                tmin = jnp.minimum(tx_n, tx_f)
+                tmax_ = jnp.maximum(tx_n, tx_f)
+                ty_n = (lo_y - oy) * inv_dy
+                ty_f = (hi_y - oy) * inv_dy
+                tmin = jnp.maximum(tmin, jnp.minimum(ty_n, ty_f))
+                tmax_ = jnp.minimum(tmax_, jnp.maximum(ty_n, ty_f))
+                tz_n = (lo_z - oz) * inv_dz
+                tz_f = (hi_z - oz) * inv_dz
+                tmin = jnp.maximum(tmin, jnp.minimum(tz_n, tz_f))
+                tmax_ = jnp.minimum(tmax_, jnp.maximum(tz_n, tz_f))
+                anyh = anyh | (
+                    (tmax_ >= tmin) & (tmin < best_t)
+                    & (tmax_ > jnp.float32(0.0))
+                )
+            desc_w = jnp.any(anyh & live)
+            ctrl.append((desc_w, leaf_w, skip_w))
+
+            for j in range(WIDTH):
+                b = REC * j
+                v0x = rows[w, b + 0]
+                v0y = rows[w, b + 1]
+                v0z = rows[w, b + 2]
+                e1x = rows[w, b + 3]
+                e1y = rows[w, b + 4]
+                e1z = rows[w, b + 5]
+                e2x = rows[w, b + 6]
+                e2y = rows[w, b + 7]
+                e2z = rows[w, b + 8]
+                hx = dy * e2z - dz * e2y
+                hy = dz * e2x - dx * e2z
+                hz = dx * e2y - dy * e2x
+                a = e1x * hx + e1y * hy + e1z * hz
+                f = jnp.float32(1.0) / a
+                sx = ox - v0x
+                sy = oy - v0y
+                sz = oz - v0z
+                u = f * (sx * hx + sy * hy + sz * hz)
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                v = f * (dx * qx + dy * qy + dz * qz)
+                t = f * (e2x * qx + e2y * qy + e2z * qz) + pen
+                hit = (
+                    (jnp.abs(a) >= _EPS)
+                    & (u >= 0.0) & (u <= 1.0)
+                    & (v >= 0.0) & (u + v <= 1.0)
+                    & (t >= _EPS) & (t < best_t)
+                    & live
+                )
+                best_t = jnp.where(hit, t, best_t)
+                best_r = jnp.where(hit, (base + w) * LEAF_TRIS + j, best_r)
+                best_u = jnp.where(hit, u, best_u)
+                best_v = jnp.where(hit, v, best_v)
+                if any_hit:
+                    live = live & (best_r < 0)
+
+        # ---- scalar phase: resolve the cursor through the W rows ---------
+        nxt = p
+        n_on = jnp.int32(0)
+        for w in range(w_spec):
+            desc_w, leaf_w, skip_w = ctrl[w]
+            on_w = (nxt == base + w) & (base + w < n_e)
+            step_w = jnp.where(leaf_w | desc_w, base + w + 1, skip_w)
+            nxt = jnp.where(on_w, step_w, nxt)
+            n_on = n_on + jnp.where(on_w, jnp.int32(1), jnp.int32(0))
+
+        new_p = jnp.maximum(nxt, p + 1)  # provable progress (wedge guard)
+        new_p = jnp.where(p < n_e, new_p, p)
+        return new_p, it + n_on, best_t, best_r, best_u, best_v
+
+    def cond(c):
+        ok = c[0] < n_e
+        if any_hit:
+            ok = ok & jnp.any(act & (c[3] < 0))
+        return ok
+
+    def body(c):
+        return jax.lax.fori_loop(0, k_visits, visit, c)
+
+    _, it, best_t, best_r, best_u, best_v = jax.lax.while_loop(
+        cond, body, init)
+    return it, best_t, best_r, best_u, best_v
+
+
+STACK_DEPTH = 16  # default when WideTrace.max_depth is unknown (0)
 
 
 def _walk_block_stack(
     ox, oy, oz, dx, dy, dz, tmax, act,
     stream_ref, *, any_hit: bool, n_entries: int,
+    stack_depth: int = STACK_DEPTH,
 ):
     """Register-stack walk: exact per-child pruning without memory.
 
@@ -434,8 +600,8 @@ def _walk_block_stack(
         jnp.where(jnp.any(act), jnp.int32(0), jnp.int32(-1)),  # cur row
         zero,                                                  # cur is_leaf
         zero,                                                  # sp
-        (zero,) * STACK_DEPTH,                                 # stack rows
-        (zero,) * STACK_DEPTH,                                 # stack masks
+        (zero,) * stack_depth,                                 # stack rows
+        (zero,) * stack_depth,                                 # stack masks
         zero,                                                  # visit count
         tmax,
         jnp.full((SUB, LANE), -1, jnp.int32),
@@ -543,7 +709,7 @@ def _walk_block_stack(
         top_i = sp - 1
         trow = zero
         tmask = zero
-        for i in range(STACK_DEPTH):
+        for i in range(stack_depth):
             sel = top_i == i
             trow = jnp.where(sel, srows[i], trow)
             tmask = jnp.where(sel, smasks[i], tmask)
@@ -563,7 +729,7 @@ def _walk_block_stack(
 
         new_srows = []
         new_smasks = []
-        for i in range(STACK_DEPTH):
+        for i in range(stack_depth):
             at_push = push & (sp == i)
             at_pop = pop & (top_i == i)
             new_srows.append(jnp.where(at_push, pc, srows[i]))
@@ -599,6 +765,7 @@ def _kernel_multiblock(
     stream_ref,
     t_out, rec_out, u_out, v_out, it_out,
     *, any_hit: bool, n_entries: int, n_blocks: int, algo: str = "skip",
+    stack_depth: int = STACK_DEPTH,
 ):
     if algo == "skip2":
         def rays(b):
@@ -631,10 +798,12 @@ def _kernel_multiblock(
             write(b, (0, it, bt, br, bu, bv))
         return
 
-    if algo.startswith("spec"):
+    if algo.startswith("specb"):
+        walk = functools.partial(_walk_block_specb, w_spec=int(algo[5:]))
+    elif algo.startswith("spec"):
         walk = functools.partial(_walk_block_spec, w_spec=int(algo[4:]))
     elif algo == "stack":
-        walk = _walk_block_stack
+        walk = functools.partial(_walk_block_stack, stack_depth=stack_depth)
     else:
         walk = _walk_block
 
@@ -658,10 +827,11 @@ def _kernel_multiblock(
 MULTIBLOCK_CHUNK = 64 * BLOCK
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit", "interpret", "algo"))
+@functools.partial(jax.jit, static_argnames=(
+    "any_hit", "interpret", "algo", "stack_depth"))
 def _traverse_padded(stream, rec_slot, ox, oy, oz, dx, dy, dz,
                      tm, ac, any_hit: bool, interpret: bool,
-                     algo: str = "skip"):
+                     algo: str = "skip", stack_depth: int = STACK_DEPTH):
     n_entries = stream.shape[0]
     g = ox.shape[0]
     chunk_blocks = MULTIBLOCK_CHUNK // BLOCK
@@ -671,7 +841,7 @@ def _traverse_padded(stream, rec_slot, ox, oy, oz, dx, dy, dz,
         nb = end - start
         kernel = functools.partial(
             _kernel_multiblock, any_hit=any_hit, n_entries=n_entries,
-            n_blocks=nb, algo=algo,
+            n_blocks=nb, algo=algo, stack_depth=stack_depth,
         )
         out_shape = [
             jax.ShapeDtypeStruct((nb, SUB, LANE), jnp.float32),
@@ -736,6 +906,8 @@ def traverse_wide(
         prep(direction[:, 2], 1),
         prep(t_max.astype(jnp.float32)), prep(active.astype(jnp.int32)),
         any_hit, interpret, algo,
+        max(int(wt.max_depth), STACK_DEPTH) if algo == "stack"
+        else STACK_DEPTH,
     )
     if return_visits:
         return it_o[:, 0, 0]  # per-block visit counts [g]

@@ -332,10 +332,19 @@ def refit_wide_stream(ws: WideStream, bvh: BVH,
 def traverse_stream_np(ws: WideStream, origin, direction, t_max,
                        any_hit: bool = False):
     """Per-ray scalar walk of the stream; returns (t, rec, u, v) with
-    rec = row*8+j into rec_slot, -1 for a miss.  Semantics match the binary
-    kernels: C-style NaN min/max slab test, strictly-closer replacement,
-    |det| >= 1e-5 and t >= 1e-5 epsilon bounds (mesh.cpp:23-62)."""
+    rec = row*8+j into rec_slot, -1 for a miss.  Semantics match the wide
+    kernel exactly: IEEE min/max slab test over directions sanitized away
+    from exact zero (same 1e-20 nudge as traverse_wide, so axis-aligned
+    rays never produce 0*inf NaNs and oracle/kernel agree bit-for-bit),
+    strictly-closer replacement, |det| >= 1e-5 and t >= 1e-5 epsilon
+    bounds (mesh.cpp:23-62)."""
     eps = np.float32(1e-5)
+    direction = np.asarray(direction, np.float32)
+    direction = np.where(
+        np.abs(direction) < 1e-20,
+        np.where(direction < 0, np.float32(-1e-20), np.float32(1e-20)),
+        direction,
+    )
     stream = ws.stream
     meta = stream[:, IS_LEAF_LANE:SKIP_LANE + 1].view(np.int32)
     E = ws.n_entries

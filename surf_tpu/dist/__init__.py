@@ -1,6 +1,8 @@
 from .sharding import (  # noqa: F401
-    make_mesh,
-    render_frame_sharded,
+    ShardedSession,
     grad_step_sharded,
+    make_mesh,
+    make_mesh_2d,
+    render_frame_sharded,
     scaling_sweep,
 )

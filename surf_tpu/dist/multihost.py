@@ -38,13 +38,15 @@ def init_multihost(coordinator_address: str | None = None,
 def make_host_chip_mesh():
     """Mesh(('hosts', 'chips')) over all devices, hosts-major.
 
-    dist/sharding.py's 1-D 'chips' layouts generalize by sharding lanes over
-    both axes (P(('hosts', 'chips'))); scene stays fully replicated."""
+    Delegates to dist.sharding.make_mesh_2d — the SAME constructor the
+    virtual-8-CPU test suite exercises (tests/test_sharding.py 2-D cases),
+    so the production multi-host shape is not a faith-based code path.
+    dist/sharding.py's layouts shard lanes over both axes
+    (P(('hosts', 'chips'))); scene stays fully replicated."""
     import jax
-    from jax.sharding import Mesh
 
-    devices = np.asarray(jax.devices())
+    from .sharding import make_mesh_2d
+
     n_hosts = jax.process_count()
-    per_host = len(devices) // n_hosts
-    grid = devices.reshape(n_hosts, per_host)
-    return Mesh(grid, ("hosts", "chips"))
+    per_host = len(jax.devices()) // n_hosts
+    return make_mesh_2d(n_hosts, per_host)

@@ -54,6 +54,28 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), ("chips",))
 
 
+def make_mesh_2d(n_hosts: int, chips_per_host: int, devices=None) -> Mesh:
+    """('hosts', 'chips') 2-D mesh, hosts-major — the BASELINE config-5
+    multi-host shape (dist/multihost.py builds the same mesh from
+    jax.process_count() in production; this constructor also builds it
+    from an explicit device list so the virtual 8-CPU test mesh can
+    exercise the exact 2-D layout, e.g. 2x4)."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)[: n_hosts * chips_per_host]
+    assert devices.size == n_hosts * chips_per_host, (
+        f"need {n_hosts * chips_per_host} devices, have {devices.size}")
+    return Mesh(devices.reshape(n_hosts, chips_per_host),
+                ("hosts", "chips"))
+
+
+def _lane_spec(mesh: Mesh) -> P:
+    """Shard pixel lanes over EVERY mesh axis (1-D: P('chips'); 2-D:
+    P(('hosts','chips')) — lanes split across hosts first, then chips,
+    so cross-host traffic stays at the final image all-gather)."""
+    return P(mesh.axis_names)
+
+
 def _lane_arrays(cfg: RenderConfig, total_samples):
     n = cfg.width * cfg.height
     lane = jnp.arange(n, dtype=jnp.uint32)
@@ -88,7 +110,7 @@ def render_frame_sharded(scene: RenderScene, cfg: RenderConfig,
     n_dev = mesh.devices.size
     assert n % n_dev == 0, f"lane count {n} not divisible by {n_dev} chips"
 
-    lane_sharding = NamedSharding(mesh, P("chips"))
+    lane_sharding = NamedSharding(mesh, _lane_spec(mesh))
     repl = NamedSharding(mesh, P())
 
     seed0, px, py = _lane_arrays(cfg, total_samples)
@@ -118,7 +140,7 @@ def grad_step_sharded(scene: RenderScene, cfg: RenderConfig,
     assert n % n_dev == 0
     assert cfg.max_bounces is not None
 
-    lane_sharding = NamedSharding(mesh, P("chips"))
+    lane_sharding = NamedSharding(mesh, _lane_spec(mesh))
     repl = NamedSharding(mesh, P())
 
     seed0, px, py = _lane_arrays(cfg, total_samples)
@@ -153,22 +175,65 @@ def grad_step_sharded(scene: RenderScene, cfg: RenderConfig,
     return fn(targets, scene, seed0, px, py, ref)
 
 
+class ShardedSession:
+    """Place-once / render-many wrapper (the production-shaped caller).
+
+    ``render_frame_sharded`` re-``device_put``s the scene and lane arrays on
+    every call — a host->device transfer per frame that a progressive or
+    animated render should pay once.  This session places the scene and the
+    static lane coordinates at construction; per-frame work is one jitted
+    dispatch (plus a tiny seed upload when total_samples changes).  The
+    GPUScene analog: scene SSBOs uploaded once, reused every frame
+    (scene.cpp:159-258)."""
+
+    def __init__(self, scene: RenderScene, cfg: RenderConfig, mesh: Mesh):
+        n = cfg.width * cfg.height
+        assert n % mesh.devices.size == 0
+        self.cfg = cfg
+        self.mesh = mesh
+        self.lane_sharding = NamedSharding(mesh, _lane_spec(mesh))
+        self.repl = NamedSharding(mesh, P())
+        _, px, py = _lane_arrays(cfg, jnp.uint32(0))
+        self.px = jax.device_put(px, self.lane_sharding)
+        self.py = jax.device_put(py, self.lane_sharding)
+        self.scene = jax.device_put(scene, self.repl)
+        self._fn = jax.jit(
+            _render_lanes, static_argnums=(1,),
+            out_shardings=self.lane_sharding,
+        )
+
+    def update_scene(self, scene: RenderScene) -> None:
+        """Re-place scene arrays (animation refresh); sharding unchanged."""
+        self.scene = jax.device_put(scene, self.repl)
+
+    def render(self, cam: CameraParams, total_samples) -> jnp.ndarray:
+        """One frame; returns [H, W, 3] radiance sums (device array)."""
+        cfg = self.cfg
+        n = cfg.width * cfg.height
+        lane = jnp.arange(n, dtype=jnp.uint32)
+        seed0 = jax.device_put(
+            rng.pixel_seed(lane, total_samples), self.lane_sharding)
+        acc = self._fn(self.scene, cfg, cam, seed0, self.px, self.py)
+        return acc.reshape(cfg.height, cfg.width, 3)
+
+
 def scaling_sweep(scene: RenderScene, cfg: RenderConfig, cam: CameraParams,
                   device_counts, repeats: int = 3):
     """Throughput vs chip count (BASELINE config 5's measurement harness).
-    Returns {n_devices: seconds_per_frame_best}."""
+    Uses the place-once session so per-frame timings measure render
+    dispatch, not scene re-upload.  Returns {n_devices: seconds_best}."""
     import time
 
     results = {}
     for nd in device_counts:
-        mesh = make_mesh(nd)
+        sess = ShardedSession(scene, cfg, make_mesh(nd))
         # warmup/compile
-        img = render_frame_sharded(scene, cfg, cam, jnp.uint32(0), mesh)
+        img = sess.render(cam, jnp.uint32(0))
         jax.block_until_ready(img)
         best = np.inf
         for _ in range(repeats):
             t0 = time.perf_counter()
-            img = render_frame_sharded(scene, cfg, cam, jnp.uint32(0), mesh)
+            img = sess.render(cam, jnp.uint32(0))
             jax.block_until_ready(img)
             best = min(best, time.perf_counter() - t0)
         results[nd] = best

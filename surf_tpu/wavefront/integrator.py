@@ -67,9 +67,10 @@ class RenderConfig(NamedTuple):
     pallas_interpret: bool = False  # interpreter mode (CPU testing)
     compact: bool = False           # partition live paths to the front
     compact_every: int = 4          # ... on every k-th wave (cumsum+scatter
-                                    # cost scales with lane count; liveness
-                                    # decays ~25%/wave so every-other-wave
-                                    # keeps blocks nearly as dense)
+                                    # cost scales with lane count; 512^2
+                                    # cadence A/B measured every-4th best:
+                                    # 2276ms vs 2566 uncompacted vs 2720
+                                    # every-wave — commit fb2dd53)
     remat: bool = False             # checkpoint each wave (reverse-mode memory)
 
     @classmethod

@@ -99,6 +99,66 @@ def test_gradient_allreduce_in_compiled_graph(setup):
     assert "all-reduce" in compiled_text, "expected a gradient all-reduce"
 
 
+def test_2d_host_chip_mesh_matches_single_device(setup):
+    """BASELINE config 5's ('hosts','chips') 2-D mesh (2x4 on the virtual
+    8-CPU backend): render must be bit-identical to single-device and to
+    the 1-D mesh — the multi-host layout is the same SPMD program."""
+    from surf_tpu.dist import make_mesh_2d
+
+    host, cam, cfg = setup
+    cp = CameraParams.from_camera(cam)
+    single = np.asarray(
+        render_frame_jit(host.render_scene, cfg, cp, jnp.uint32(0))
+    )
+    mesh2d = make_mesh_2d(2, 4)
+    assert mesh2d.axis_names == ("hosts", "chips")
+    sharded = np.asarray(
+        render_frame_sharded(host.render_scene, cfg, cp, jnp.uint32(0),
+                             mesh2d)
+    )
+    assert np.allclose(single, sharded, atol=1e-5)
+
+
+def test_2d_mesh_gradients_match_1d(setup):
+    """Gradient all-reduce over the 2-D mesh == 1-D mesh == single device."""
+    from surf_tpu.dist import make_mesh_2d
+
+    host, cam, cfg = setup
+    cfg = cfg._replace(max_bounces=8)
+    targets = DiffTargets.from_scene(
+        host.render_scene, CameraParams.from_camera(cam)
+    )
+    loss1, g1 = grad_step_sharded(
+        host.render_scene, cfg, targets, jnp.uint32(0), make_mesh(8)
+    )
+    loss2, g2 = grad_step_sharded(
+        host.render_scene, cfg, targets, jnp.uint32(0), make_mesh_2d(2, 4)
+    )
+    assert np.isclose(float(loss1), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        assert np.allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                           atol=1e-6)
+
+
+def test_sharded_session_place_once(setup):
+    """ShardedSession (place-once) must reproduce render_frame_sharded and
+    not re-upload the scene between frames."""
+    from surf_tpu.dist import ShardedSession
+
+    host, cam, cfg = setup
+    cp = CameraParams.from_camera(cam)
+    mesh = make_mesh(8)
+    sess = ShardedSession(host.render_scene, cfg, mesh)
+    a = np.asarray(sess.render(cp, jnp.uint32(0)))
+    b = np.asarray(
+        render_frame_sharded(host.render_scene, cfg, cp, jnp.uint32(0), mesh)
+    )
+    assert np.array_equal(a, b)
+    # second frame continues the accumulator stream (different seeds)
+    c = np.asarray(sess.render(cp, jnp.uint32(cfg.spp)))
+    assert not np.array_equal(a, c)
+
+
 def test_uneven_lane_count_rejected(setup):
     host, cam, cfg = setup
     bad_cfg = cfg._replace(width=15, height=3)  # 45 lanes, not divisible by 8
