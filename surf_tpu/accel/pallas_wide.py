@@ -108,9 +108,9 @@ def _make_skip_visit(ox, oy, oz, dx, dy, dz, tmax, act, stream_ref,
         jnp.where(jnp.any(act), jnp.int32(0), n_e),
         jnp.int32(0),
         tmax,
-        jnp.full((SUB, LANE), -1, jnp.int32),
-        jnp.zeros((SUB, LANE), jnp.float32),
-        jnp.zeros((SUB, LANE), jnp.float32),
+        jnp.full(tmax.shape, -1, jnp.int32),
+        jnp.zeros(tmax.shape, jnp.float32),
+        jnp.zeros(tmax.shape, jnp.float32),
     )
 
     def visit(_, c):
@@ -121,6 +121,12 @@ def _make_skip_visit(ox, oy, oz, dx, dy, dz, tmax, act, stream_ref,
         row_i = pltpu.bitcast(row, jnp.int32)
         is_leaf = row_i[0, IS_LEAF_LANE] == 1
         skip = row_i[0, SKIP_LANE]
+        # Node rows / overrun visits are killed by a scalar NaN t-penalty
+        # (t + NaN fails every comparison) instead of ANDing the scalar
+        # is_leaf/valid into the vector hit mask — scalar->vector boolean
+        # broadcasts are a measured Mosaic slow path, scalar float adds are
+        # free (tpu_cost_micro / tpu_dep_micro).
+        pen = jnp.where(is_leaf & valid, jnp.float32(0.0), _QNAN)
 
         if any_hit:
             live = act & (best_r < 0)
@@ -133,7 +139,7 @@ def _make_skip_visit(ox, oy, oz, dx, dy, dz, tmax, act, stream_ref,
         # sanitizes zero direction components, so IEEE and C-style min/max
         # agree on real boxes; EMPTY slots carry deliberate NaN boxes that
         # propagate and fail every comparison (never hit).
-        anyh = jnp.zeros((SUB, LANE), dtype=bool)
+        anyh = jnp.zeros(tmax.shape, dtype=bool)
         for k in range(WIDTH):
             b = REC * k
             lo_x = row[0, b + 0]
@@ -161,7 +167,7 @@ def _make_skip_visit(ox, oy, oz, dx, dy, dz, tmax, act, stream_ref,
         descend = jnp.any(anyh & live)
 
         # ---- leaf interpretation: 8 Möller–Trumbore tests ---------------
-        leaf_live = live & is_leaf & valid
+        leaf_live = live
         for j in range(WIDTH):
             b = REC * j
             v0x = row[0, b + 0]
@@ -186,7 +192,7 @@ def _make_skip_visit(ox, oy, oz, dx, dy, dz, tmax, act, stream_ref,
             qy = sz * e1x - sx * e1z
             qz = sx * e1y - sy * e1x
             v = f * (dx * qx + dy * qy + dz * qz)
-            t = f * (e2x * qx + e2y * qy + e2z * qz)
+            t = f * (e2x * qx + e2y * qy + e2z * qz) + pen
             hit = (
                 (jnp.abs(a) >= _EPS)
                 & (u >= 0.0) & (u <= 1.0)
@@ -210,6 +216,56 @@ def _make_skip_visit(ox, oy, oz, dx, dy, dz, tmax, act, stream_ref,
         return new_p, it, best_t, best_r, best_u, best_v
 
     return visit, init
+
+
+def _walk_block_multi(
+    rays, stream_ref, *, any_hit: bool, n_entries: int,
+):
+    """M independent block walks interleaved in ONE while_loop with a FLAT
+    carry (algo="skipN").  Rationale (scripts/tpu_dep_micro.py +
+    /tmp/interleave_check, v5e 2026-08-18, honest host-read timing): a
+    single walk's per-visit cost is dominated by the serialized
+    fetch->eval->reduce->address chain (~390 ns in the micro); two
+    interleaved walks overlap each other's memory latency with the other's
+    VPU work (M=2: -21%, M=4: -28% per visit).  Round 1 dismissed
+    interleaving from measurements now known poisoned by the busy-device
+    instant-ACK timing trap.
+
+    Differences from the quarantined skip2 pair-walk (which wedged the
+    worker once): a flat tuple carry (no nested per-walk tuples) and each
+    walk's cursor is frozen at n_e once it finishes (monotone, provably
+    terminating: cond is a disjunction of strictly-increasing cursors
+    against a static bound)."""
+    m = len(rays)
+    visits = []
+    inits = []
+    for r in rays:
+        v, i = _make_skip_visit(*r, stream_ref, any_hit=any_hit,
+                                n_entries=n_entries)
+        visits.append(v)
+        inits.append(i)
+    n_e = jnp.int32(n_entries)
+    width = len(inits[0])
+
+    flat0 = tuple(x for i in inits for x in i)
+
+    def cond(c):
+        ok = c[0] < n_e
+        for i in range(1, m):
+            ok = ok | (c[i * width] < n_e)
+        return ok
+
+    def body(c):
+        def step(_, c2):
+            outs = []
+            for i in range(m):
+                ci = c2[i * width:(i + 1) * width]
+                outs.extend(visits[i](0, ci))
+            return tuple(outs)
+        return jax.lax.fori_loop(0, K_VISITS, step, c)
+
+    out = jax.lax.while_loop(cond, body, flat0)
+    return [out[i * width:(i + 1) * width] for i in range(m)]
 
 
 def _walk_block_pair(
@@ -287,9 +343,9 @@ def _walk_block_spec(
         jnp.where(jnp.any(act), jnp.int32(0), n_e),
         jnp.int32(0),
         tmax,
-        jnp.full((SUB, LANE), -1, jnp.int32),
-        jnp.zeros((SUB, LANE), jnp.float32),
-        jnp.zeros((SUB, LANE), jnp.float32),
+        jnp.full(tmax.shape, -1, jnp.int32),
+        jnp.zeros(tmax.shape, jnp.float32),
+        jnp.zeros(tmax.shape, jnp.float32),
     )
 
     def visit(_, c):
@@ -316,7 +372,7 @@ def _walk_block_spec(
             else:
                 live = act
 
-            anyh = jnp.zeros((SUB, LANE), dtype=bool)
+            anyh = jnp.zeros(tmax.shape, dtype=bool)
             for k in range(WIDTH):
                 b = REC * k
                 lo_x = row[0, b + 0]
@@ -450,9 +506,9 @@ def _walk_block_specb(
         jnp.where(jnp.any(act), jnp.int32(0), n_e),
         jnp.int32(0),
         tmax,
-        jnp.full((SUB, LANE), -1, jnp.int32),
-        jnp.zeros((SUB, LANE), jnp.float32),
-        jnp.zeros((SUB, LANE), jnp.float32),
+        jnp.full(tmax.shape, -1, jnp.int32),
+        jnp.zeros(tmax.shape, jnp.float32),
+        jnp.zeros(tmax.shape, jnp.float32),
     )
 
     def visit(_, c):
@@ -472,7 +528,7 @@ def _walk_block_specb(
             else:
                 live = act
 
-            anyh = jnp.zeros((SUB, LANE), dtype=bool)
+            anyh = jnp.zeros(tmax.shape, dtype=bool)
             for k in range(WIDTH):
                 b = REC * k
                 lo_x = rows[w, b + 0]
@@ -604,9 +660,9 @@ def _walk_block_stack(
         (zero,) * stack_depth,                                 # stack masks
         zero,                                                  # visit count
         tmax,
-        jnp.full((SUB, LANE), -1, jnp.int32),
-        jnp.zeros((SUB, LANE), jnp.float32),
-        jnp.zeros((SUB, LANE), jnp.float32),
+        jnp.full(tmax.shape, -1, jnp.int32),
+        jnp.zeros(tmax.shape, jnp.float32),
+        jnp.zeros(tmax.shape, jnp.float32),
     )
 
     def visit(_, c):
@@ -779,7 +835,7 @@ def _kernel_multiblock(
             rec_out[b] = br
             u_out[b] = bu
             v_out[b] = bv
-            it_out[b] = jnp.full((SUB, LANE), it, jnp.int32)
+            it_out[b] = jnp.full(bt.shape, it, jnp.int32)
 
         def pair(i, _):
             b = 2 * i
@@ -796,6 +852,39 @@ def _kernel_multiblock(
             it, bt, br, bu, bv = _walk_block(
                 *rays(b), stream_ref, any_hit=any_hit, n_entries=n_entries)
             write(b, (0, it, bt, br, bu, bv))
+        return
+
+    if algo.startswith("ilv"):
+        m = int(algo[3:])
+
+        def rays_of(b):
+            return (ox_ref[b], oy_ref[b], oz_ref[b],
+                    dx_ref[b], dy_ref[b], dz_ref[b],
+                    tmax_ref[b], act_ref[b] != 0)
+
+        def write_out(b, c):
+            _, it, bt, br, bu, bv = c
+            t_out[b] = bt
+            rec_out[b] = br
+            u_out[b] = bu
+            v_out[b] = bv
+            it_out[b] = jnp.full(bt.shape, it, jnp.int32)
+
+        def group(i, _):
+            b0 = m * i
+            outs = _walk_block_multi(
+                [rays_of(b0 + j) for j in range(m)], stream_ref,
+                any_hit=any_hit, n_entries=n_entries)
+            for j in range(m):
+                write_out(b0 + j, outs[j])
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks // m, group, 0)
+        for b in range(n_blocks - n_blocks % m, n_blocks):
+            it, bt, br, bu, bv = _walk_block(
+                *rays_of(b), stream_ref, any_hit=any_hit,
+                n_entries=n_entries)
+            write_out(b, (0, it, bt, br, bu, bv))
         return
 
     if algo.startswith("specb"):
@@ -818,7 +907,7 @@ def _kernel_multiblock(
         rec_out[b] = br
         u_out[b] = bu
         v_out[b] = bv
-        it_out[b] = jnp.full((SUB, LANE), it, jnp.int32)
+        it_out[b] = jnp.full(bt.shape, it, jnp.int32)
         return 0
 
     jax.lax.fori_loop(0, n_blocks, blk, 0)
@@ -833,8 +922,8 @@ def _traverse_padded(stream, rec_slot, ox, oy, oz, dx, dy, dz,
                      tm, ac, any_hit: bool, interpret: bool,
                      algo: str = "skip", stack_depth: int = STACK_DEPTH):
     n_entries = stream.shape[0]
-    g = ox.shape[0]
-    chunk_blocks = MULTIBLOCK_CHUNK // BLOCK
+    g, sub, _ = ox.shape
+    chunk_blocks = max(1, MULTIBLOCK_CHUNK // (sub * LANE))
     outs = []
     for start in range(0, g, chunk_blocks):
         end = min(start + chunk_blocks, g)
@@ -844,11 +933,11 @@ def _traverse_padded(stream, rec_slot, ox, oy, oz, dx, dy, dz,
             n_blocks=nb, algo=algo, stack_depth=stack_depth,
         )
         out_shape = [
-            jax.ShapeDtypeStruct((nb, SUB, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((nb, SUB, LANE), jnp.int32),
-            jax.ShapeDtypeStruct((nb, SUB, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((nb, SUB, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((nb, SUB, LANE), jnp.int32),  # visits
+            jax.ShapeDtypeStruct((nb, sub, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb, sub, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((nb, sub, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb, sub, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb, sub, LANE), jnp.int32),  # visits
         ]
         vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
         outs.append(pl.pallas_call(
@@ -875,14 +964,22 @@ def traverse_wide(
     interpret: bool = False,
     return_visits: bool = False,
     algo: str = "skip",
+    block_rays: int = BLOCK,
 ) -> Hit:
     """Drop-in replacement for accel.traverse.traverse / traverse_pallas;
     hit.prim is the leaf-order triangle slot (map through scene.perm for
-    the original id), identical to the binary kernels."""
+    the original id), identical to the binary kernels.
+
+    ``block_rays`` (multiple of 1024) sets the packet size: one walk
+    serves block_rays rays, so the per-visit fixed chain (~400 ns fetch +
+    reduce, the dominant cost) amortizes over a larger union — unions grow
+    sub-linearly in ray count, so bigger blocks trade vector-issue time
+    (cheap) for fewer visits (expensive)."""
     n = origin.shape[0]
-    pad = (-n) % BLOCK
+    pad = (-n) % block_rays
     n_pad = n + pad
-    g = n_pad // BLOCK
+    g = n_pad // block_rays
+    sub = block_rays // LANE
 
     # Sanitize exactly-zero direction components so 1/d is finite and the
     # kernel's slab test never sees 0*inf NaNs (lets it use 1-op IEEE
@@ -897,7 +994,7 @@ def traverse_wide(
         x = jnp.concatenate(
             [x, jnp.full((pad,), fill, x.dtype)]
         ) if pad else x
-        return x.reshape(g, SUB, LANE)
+        return x.reshape(g, sub, LANE)
 
     t_o, r_o, u_o, v_o, it_o = _traverse_padded(
         wt.stream, wt.rec_slot,

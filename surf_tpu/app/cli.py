@@ -73,6 +73,10 @@ def run(cfg: AppConfig) -> dict:
         use_defocus=cam.defocus_angle != 0.0,
         max_bounces=cfg.max_bounces,
     )._replace(compact=cfg.compact)
+    if cfg.wave_limit is not None:
+        rcfg = rcfg._replace(wave_limit=cfg.wave_limit)
+    if cfg.algo is not None:
+        rcfg = rcfg._replace(algo=cfg.algo)
 
     if cfg.resume and cfg.checkpoint:
         acc = Accumulator.load(cfg.checkpoint)
@@ -94,6 +98,7 @@ def run(cfg: AppConfig) -> dict:
         f"devices={len(jax.devices())}{' (sharded)' if mesh else ''}"
     )
 
+    carry = None
     for frame in range(cfg.frames):
         if cfg.animate and frame > 0:
             host.update(cfg.dt, rebuild=cfg.rebuild_bvh)
@@ -116,6 +121,23 @@ def run(cfg: AppConfig) -> dict:
                 jnp.uint32(acc.total_samples),
             )
             extra = {k: float(np.asarray(v)) for k, v in stats.items()}
+        elif cfg.defer:
+            # Cross-frame deferral (renderer.cpp:1101-1104): capped-out
+            # paths resume next frame; zero estimator bias at any wave cap.
+            from ..wavefront.integrator import (
+                empty_frame_carry,
+                initial_seeds,
+                render_frame_carry_jit,
+            )
+
+            if frame == 0 or carry is None:
+                carry = empty_frame_carry(rcfg)
+            if cfg.animate and frame > 0:
+                carry = empty_frame_carry(rcfg)  # scene moved: discard
+            seed0 = initial_seeds(rcfg, jnp.uint32(acc.total_samples))
+            radiance, _, carry = render_frame_carry_jit(
+                host.render_scene, rcfg, cam_params, seed0, carry,
+            )
         elif cfg.spp > 2 and jax.default_backend() != "cpu":
             # Chunk spp into short device dispatches (the remote tunnel
             # kills multi-minute executions); bit-identical RNG streams.
@@ -176,6 +198,9 @@ def main(argv=None) -> int:
     p.add_argument("--metrics-jsonl", default=None)
     p.add_argument("--wave-stats", action="store_true")
     p.add_argument("--compact", action="store_true")
+    p.add_argument("--defer", action="store_true", dest="defer_paths")
+    p.add_argument("--wave-limit", type=int, default=None)
+    p.add_argument("--algo", default=None)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--resume", action="store_true")
     args = p.parse_args(argv)
@@ -191,7 +216,8 @@ def main(argv=None) -> int:
             backend=args.backend, shard=args.shard, output=args.output,
             metrics_jsonl=args.metrics_jsonl, checkpoint=args.checkpoint,
             resume=args.resume, wave_stats=args.wave_stats,
-            compact=args.compact,
+            compact=args.compact, defer=args.defer_paths,
+            wave_limit=args.wave_limit, algo=args.algo,
         )
     run(cfg)
     return 0

@@ -33,6 +33,9 @@ class AppConfig:
     dt: float = 1.0 / 60.0         # animation time step per frame
     wave_stats: bool = False       # per-frame wavefront stats (waves/occupancy)
     compact: bool = False          # stream compaction each wave
+    defer: bool = False            # cross-frame deferral of capped paths
+    wave_limit: int | None = None  # override the per-sample wave cap
+    algo: str | None = None        # wide-kernel walk algorithm override
 
     @classmethod
     def from_file(cls, path: str) -> "AppConfig":

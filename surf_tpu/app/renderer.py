@@ -34,7 +34,9 @@ class WavefrontRenderer:
     """Progressive wavefront renderer over a compiled scene."""
 
     def __init__(self, host_compiled, camera, config: RendererConfigHost,
-                 use_pallas: bool | None = None, compact: bool = False):
+                 use_pallas: bool | None = None, compact: bool = False,
+                 defer: bool = False, wave_limit: int | None = None,
+                 algo: str | None = None):
         import jax
 
         from ..scene.camera import CameraParams
@@ -51,11 +53,25 @@ class WavefrontRenderer:
             max_bounces=config.max_bounces,
             use_pallas=use_pallas,
         )._replace(compact=compact)
+        if wave_limit is not None:
+            self._rcfg = self._rcfg._replace(wave_limit=wave_limit)
+        if algo is not None:
+            self._rcfg = self._rcfg._replace(algo=algo)
         from ..wavefront.accumulator import Accumulator
 
         self._acc = Accumulator(camera.screen_width, camera.screen_height)
         self._frame_info = FrameInstrumentationData()
         self._scene_dev = jax.device_put(host_compiled.render_scene)
+        # Cross-frame deferral (renderer.cpp:1101-1104): capped-out paths
+        # persist in a FrameCarry and resume next frame, so an aggressive
+        # wave cap costs zero estimator bias (the tail is processed pooled
+        # at high occupancy instead of per sample).
+        self._defer = defer
+        self._carry = None
+        if defer:
+            from ..wavefront.integrator import empty_frame_carry
+
+            self._carry = empty_frame_carry(self._rcfg)
 
     # -- IRenderer surface (renderer.h:87-97) ------------------------------
     def clear_accumulator(self) -> None:
@@ -73,12 +89,25 @@ class WavefrontRenderer:
         import jax
         import jax.numpy as jnp
 
-        from ..wavefront.integrator import render_frame_jit
+        if self._defer:
+            from ..wavefront.integrator import (
+                initial_seeds,
+                render_frame_carry_jit,
+            )
 
-        radiance = render_frame_jit(
-            self._scene_dev, self._rcfg, self._cam_params,
-            jnp.uint32(self._acc.total_samples),
-        )
+            seed0 = initial_seeds(
+                self._rcfg, jnp.uint32(self._acc.total_samples))
+            radiance, _, self._carry = render_frame_carry_jit(
+                self._scene_dev, self._rcfg, self._cam_params, seed0,
+                self._carry,
+            )
+        else:
+            from ..wavefront.integrator import render_frame_jit
+
+            radiance = render_frame_jit(
+                self._scene_dev, self._rcfg, self._cam_params,
+                jnp.uint32(self._acc.total_samples),
+            )
         self._acc.add_frame(
             np.asarray(jax.block_until_ready(radiance)),
             self._config.samples_per_frame,
@@ -88,11 +117,16 @@ class WavefrontRenderer:
         return self._acc.resolve()
 
     def notify_camera_changed(self) -> None:
-        """Camera/UI change invalidates the accumulator (main.cpp:411-419)."""
+        """Camera/UI change invalidates the accumulator (main.cpp:411-419)
+        and any deferred paths (they belong to the discarded frames)."""
         from ..scene.camera import CameraParams
 
         self._cam_params = CameraParams.from_camera(self._camera)
         self.clear_accumulator()
+        if self._defer:
+            from ..wavefront.integrator import empty_frame_carry
+
+            self._carry = empty_frame_carry(self._rcfg)
 
 
 class OracleRendererFacade:

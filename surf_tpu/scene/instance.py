@@ -23,9 +23,12 @@ class Instance:
         self.set_transform(np.asarray(transform, np.float32))
 
     def set_transform(self, transform: np.ndarray) -> None:
-        """setTransform (bvh.cpp:524-531): cache inverse, world bounds, area."""
+        """setTransform (bvh.cpp:524-531): cache inverse, world bounds, area.
+        Bumps ``version`` so compiled scenes re-transform only the moved
+        instances' triangle slices on refresh."""
         self.transform = transform.astype(np.float32)
         self.inv_transform = tf.inverse(self.transform)
+        self.version = getattr(self, "version", 0) + 1
         self._update_bounds()
         self._calculate_mesh_area()
 

@@ -65,6 +65,13 @@ class RenderConfig(NamedTuple):
     use_pallas: bool = False        # Pallas packet-traversal kernels (TPU)
     use_wide: bool = True           # 8-wide stream kernel (vs binary records)
     pallas_interpret: bool = False  # interpreter mode (CPU testing)
+    algo: str = "skip"              # wide-kernel walk algorithm (pallas_wide)
+    block_rays: int = 1024          # rays per packet walk (pallas_wide)
+    defer_drain: int = 64           # wave cap for the deferred-pool
+                                    # continuation (deeper than wave_limit:
+                                    # the pool runs ONCE per frame at pooled
+                                    # occupancy, so draining it fully is
+                                    # cheap and keeps inflow < outflow)
     compact: bool = False           # partition live paths to the front
     compact_every: int = 4          # ... on every k-th wave (cumsum+scatter
                                     # cost scales with lane count; 512^2
@@ -213,6 +220,7 @@ def _dispatch_traverse(cfg: RenderConfig, trace, origin, direction, t_max,
                 WideTrace(trace.wide_stream, trace.wide_rec_slot),
                 origin, direction, t_max, active,
                 any_hit=any_hit, interpret=cfg.pallas_interpret,
+                algo=cfg.algo, block_rays=cfg.block_rays,
             )
         from ..accel.pallas_traverse import traverse_pallas
 
@@ -483,22 +491,11 @@ def _next_event(scene, cfg, seed, m_diff, I, N, brdf, transmission, energy):
 # Sample / frame loops (replaces the host wave loop renderer.cpp:1030-1106)
 # --------------------------------------------------------------------------
 
-def render_sample(scene: RenderScene, cfg: RenderConfig, vp: ViewPlane,
-                  seed, px, py):
-    """One sample for every pixel lane: raygen + full bounce loop on device."""
-    seed, origin, direction = ray_generation(cfg, vp, seed, px, py)
-    n = seed.shape[0]
-    state = PathState(
-        origin=origin,
-        direction=direction,
-        seed=seed,
-        transmission=jnp.ones((n, 3), jnp.float32),
-        energy=jnp.zeros((n, 3), jnp.float32),
-        last_specular=jnp.ones(n, bool),
-        in_medium=jnp.zeros(n, bool),
-        alive=jnp.ones(n, bool),
-        pixel=jnp.arange(n, dtype=jnp.int32),
-    )
+def _bounce_loop(scene: RenderScene, cfg: RenderConfig, state: PathState
+                 ) -> PathState:
+    """The on-device wave loop (shared by fresh samples and deferred-path
+    continuation): bounce until every path terminates, the wave cap, or the
+    static bounce budget."""
 
     def wave(i, s):
         if cfg.compact:
@@ -532,8 +529,28 @@ def render_sample(scene: RenderScene, cfg: RenderConfig, vp: ViewPlane,
             return wave(i, s)
 
         state = jax.lax.fori_loop(0, cfg.max_bounces, body, state)
-        # Paths still alive at the cap contribute nothing further — matches
-        # an RR kill without compensation (bias ~0 for caps >= ~32).
+        # Paths still alive at the cap contribute nothing further unless
+        # the caller carries them across frames (FrameCarry deferral).
+    return state
+
+
+def render_sample(scene: RenderScene, cfg: RenderConfig, vp: ViewPlane,
+                  seed, px, py):
+    """One sample for every pixel lane: raygen + full bounce loop on device."""
+    seed, origin, direction = ray_generation(cfg, vp, seed, px, py)
+    n = seed.shape[0]
+    state = PathState(
+        origin=origin,
+        direction=direction,
+        seed=seed,
+        transmission=jnp.ones((n, 3), jnp.float32),
+        energy=jnp.zeros((n, 3), jnp.float32),
+        last_specular=jnp.ones(n, bool),
+        in_medium=jnp.zeros(n, bool),
+        alive=jnp.ones(n, bool),
+        pixel=jnp.arange(n, dtype=jnp.int32),
+    )
+    state = _bounce_loop(scene, cfg, state)
 
     if cfg.compact:
         # Restore pixel order for the per-pixel accumulator and seed
@@ -594,6 +611,140 @@ def render_frame_seeded(scene: RenderScene, cfg: RenderConfig,
 def initial_seeds(cfg: RenderConfig, total_samples) -> jnp.ndarray:
     n = cfg.width * cfg.height
     return rng.pixel_seed(jnp.arange(n, dtype=jnp.uint32), total_samples)
+
+
+# --------------------------------------------------------------------------
+# Cross-frame deferral (renderer.cpp:27-29, 1101-1104): paths still alive at
+# the wave cap are NOT dropped — they persist in a FrameCarry and resume in
+# the next frame, so the wave-cap estimator bias is exactly zero.  Each
+# deferred path continues with its own carried seed stream, so its radiance
+# is bit-identical to what an uncapped single-frame render would produce —
+# just banked across frames.
+# --------------------------------------------------------------------------
+
+class FrameCarry(NamedTuple):
+    """Persistent cross-frame wavefront state: a fixed N-lane pool of
+    deferred paths (.alive marks occupancy; .pixel routes banked energy)
+    and an overflow counter (the TPU analog of the reference's elastic
+    shadow-buffer growth, SURVEY.md §5.3: capacity is static, overflow is
+    counted and dropped, never reallocated)."""
+
+    deferred: PathState
+    dropped: jnp.ndarray  # [] int32
+
+
+def empty_frame_carry(cfg: RenderConfig) -> FrameCarry:
+    n = cfg.width * cfg.height
+    z3 = jnp.zeros((n, 3), jnp.float32)
+    return FrameCarry(
+        deferred=PathState(
+            origin=z3, direction=z3,
+            seed=jnp.zeros(n, jnp.uint32),
+            transmission=z3, energy=z3,
+            last_specular=jnp.zeros(n, bool),
+            in_medium=jnp.zeros(n, bool),
+            alive=jnp.zeros(n, bool),
+            pixel=jnp.zeros(n, jnp.int32),
+        ),
+        dropped=jnp.int32(0),
+    )
+
+
+def _merge_deferred(d: PathState, s: PathState, dropped):
+    """Append s's live lanes after d's live prefix (both stable-compacted);
+    overflow beyond the fixed pool is counted into ``dropped``."""
+    n = d.alive.shape[0]
+    d = compact_paths(d)
+    s = compact_paths(s)
+    m = jnp.sum(d.alive.astype(jnp.int32))
+    k = jnp.sum(s.alive.astype(jnp.int32))
+    idx = jnp.arange(n, dtype=jnp.int32)
+    src = jnp.clip(idx - m, 0, n - 1)
+    take_new = (idx >= m) & (idx < m + k)
+
+    def mix(df, sf):
+        sg = jnp.take(sf, src, axis=0)
+        mask = take_new if df.ndim == 1 else take_new[:, None]
+        return jnp.where(mask, sg, df)
+
+    merged = jax.tree.map(mix, d, s)
+    dropped = dropped + jnp.maximum(m + k - n, 0)
+    return merged, dropped
+
+
+def _continue_deferred(scene, cfg: RenderConfig, carry: FrameCarry):
+    """Run the wave loop over the deferred pool; bank newly produced energy
+    by pixel; survivors stay deferred (energy re-zeroed)."""
+    n = carry.deferred.alive.shape[0]
+    drain_cfg = cfg._replace(
+        wave_limit=max(cfg.wave_limit, cfg.defer_drain),
+        compact=True, compact_every=min(cfg.compact_every, 4)
+        if cfg.compact else 4,
+    )
+    d = _bounce_loop(scene, drain_cfg, carry.deferred)
+    add = jnp.zeros((n, 3), jnp.float32).at[d.pixel].add(d.energy)
+    d = d._replace(energy=jnp.zeros_like(d.energy))
+    return add, carry._replace(deferred=d)
+
+
+def render_sample_deferring(scene: RenderScene, cfg: RenderConfig,
+                            vp: ViewPlane, seed, px, py):
+    """render_sample variant that returns the capped-out survivors instead
+    of dropping them: (next_seed, energy[N,3] in pixel order, survivors).
+    The survivors' partial energy is banked into the returned energy and
+    zeroed in the survivor state (their future bounces bank next frame)."""
+    seed, origin, direction = ray_generation(cfg, vp, seed, px, py)
+    n = seed.shape[0]
+    state = PathState(
+        origin=origin, direction=direction, seed=seed,
+        transmission=jnp.ones((n, 3), jnp.float32),
+        energy=jnp.zeros((n, 3), jnp.float32),
+        last_specular=jnp.ones(n, bool),
+        in_medium=jnp.zeros(n, bool),
+        alive=jnp.ones(n, bool),
+        pixel=jnp.arange(n, dtype=jnp.int32),
+    )
+    state = _bounce_loop(scene, cfg, state)
+    # Bank ALL energy (pixel-order scatter handles compaction permutations
+    # for free), then zero it in the surviving paths.
+    energy = jnp.zeros((n, 3), jnp.float32).at[state.pixel].add(state.energy)
+    seed_out = jnp.zeros(n, jnp.uint32).at[state.pixel].set(state.seed)
+    survivors = state._replace(energy=jnp.zeros_like(state.energy))
+    return seed_out, energy, survivors
+
+
+def render_frame_carry(scene: RenderScene, cfg: RenderConfig,
+                       cam: CameraParams, seed0: jnp.ndarray,
+                       carry: FrameCarry):
+    """One frame with cross-frame deferral: continue last frame's deferred
+    paths, render cfg.spp fresh samples, defer this frame's capped-out
+    paths.  Returns (radiance_sums [H,W,3], next seeds, next carry)."""
+    vp = view_plane_jnp(cam, cfg.width, cfg.height)
+    n = cfg.width * cfg.height
+    lane = jnp.arange(n, dtype=jnp.uint32)
+    px = (lane % jnp.uint32(cfg.width)).astype(jnp.int32)
+    py = (lane // jnp.uint32(cfg.width)).astype(jnp.int32)
+
+    acc0, carry = _continue_deferred(scene, cfg, carry)
+
+    def body(_, c):
+        seed, acc, carry = c
+        seed, energy, surv = render_sample_deferring(
+            scene, cfg, vp, seed, px, py)
+        deferred, dropped = _merge_deferred(
+            carry.deferred, surv, carry.dropped)
+        return seed, acc + energy, FrameCarry(deferred, dropped)
+
+    seed, acc, carry = jax.lax.fori_loop(
+        0, cfg.spp, body, (seed0, acc0, carry))
+    return acc.reshape(cfg.height, cfg.width, 3), seed, carry
+
+
+@partial(jax.jit, static_argnums=(1,))
+def render_frame_carry_jit(scene: RenderScene, cfg: RenderConfig,
+                           cam: CameraParams, seed0: jnp.ndarray,
+                           carry: FrameCarry):
+    return render_frame_carry(scene, cfg, cam, seed0, carry)
 
 
 @partial(jax.jit, static_argnums=(1,))
