@@ -56,6 +56,10 @@ def run_bench(width, height, spp, max_bounces, use_pallas, frames=3,
         # a fori over max_bounces (dead lanes are masked), but exits as
         # soon as every path has terminated instead of paying all N waves.
         max_bounces=None, wave_limit=max_bounces, compact=use_pallas,
+        # Round-2 A/B-tuned knobs (256^2@4spp, one-process comparisons):
+        # 2048-ray packets amortize the per-visit fixed chain over a
+        # sub-linearly-growing union (-6%); compaction cadence 4 (-15%).
+        block_rays=2048 if use_pallas else 1024,
     )
 
     def frame(total_samples):
