@@ -59,18 +59,41 @@ class WideTrace(NamedTuple):
 
     ``max_depth`` is the wide node-tree depth (a plain Python int, NOT a
     traced leaf — it sizes the algo="stack" unrolled register stack at
-    trace time; 0 = unknown, falls back to STACK_DEPTH)."""
+    trace time; 0 = unknown, falls back to STACK_DEPTH).
+
+    The algo="bits" list-driven path additionally carries per-row own
+    boxes (SoA, [3, E_pad] f32), the leaf-row index list, and each leaf
+    row's root-path chain (anc_leaf, [L, MAXD] int32, self-padded); see
+    traverse_wide_bits.  ``inert_row`` is a guaranteed zero-triangle pad
+    row used as list padding (a Python int, static)."""
 
     stream: jnp.ndarray    # [E_pad, 128] f32
     rec_slot: jnp.ndarray  # [E_pad * 8] int32
     max_depth: int = 0
+    box_lo: jnp.ndarray | None = None    # [3, E_pad] f32
+    box_hi: jnp.ndarray | None = None    # [3, E_pad] f32
+    leaf_rows: jnp.ndarray | None = None  # [L] int32 (stream order)
+    anc_leaf: jnp.ndarray | None = None   # [L, MAXD] int32
+    inert_row: int = 0
 
 
 def device_wide_trace(ws: WideStream) -> WideTrace:
+    extra = {}
+    if ws.box_lo is not None:
+        meta_i = ws.stream[:, IS_LEAF_LANE].view(np.int32)
+        leaf_rows = np.nonzero(meta_i[:ws.n_entries] == 1)[0].astype(np.int32)
+        extra = dict(
+            box_lo=jnp.asarray(ws.box_lo.T.copy()),
+            box_hi=jnp.asarray(ws.box_hi.T.copy()),
+            leaf_rows=jnp.asarray(leaf_rows),
+            anc_leaf=jnp.asarray(ws.anc[leaf_rows]),
+            inert_row=int(ws.stream.shape[0] - 1),
+        )
     return WideTrace(
         stream=jnp.asarray(ws.stream),
         rec_slot=jnp.asarray(ws.rec_slot),
         max_depth=int(ws.max_depth),
+        **extra,
     )
 
 
@@ -913,6 +936,206 @@ def _kernel_multiblock(
     jax.lax.fori_loop(0, n_blocks, blk, 0)
 
 
+# ---------------------------------------------------------------------------
+# algo="bits": chain-free three-phase traversal
+# ---------------------------------------------------------------------------
+#
+# The walk kernels above are latency-bound: every visit serializes
+# fetch -> vector eval -> ANY-reduce -> scalar cursor -> next fetch
+# (~400-550 ns/visit on v5e regardless of math, scripts/tpu_dep_micro.py).
+# This path removes ALL vector->scalar dependencies instead of amortizing
+# them:
+#
+#   phase 1 (XLA, dense): per ray packet, slab-test every row's OWN
+#     bounding box (WideStream.box_lo/hi) against all rays with their
+#     initial t_max -> one "some ray hits this row" bit per row.  Dense,
+#     static, reduction-friendly — no control flow.
+#   phase 1.5 (XLA): a leaf row can contain a qualifying hit only if its
+#     own box AND every ancestor box is hit (standard BVH argument, with
+#     t bounds at their initial values — conservative, never misses);
+#     AND-gather the bits along anc_leaf, then cumsum-compact surviving
+#     leaf-row indices into a per-packet list (+ group count).
+#   phase 2 (Pallas): fori over the list, 8 leaf rows per step, 8
+#     Möller–Trumbore tests per row with per-lane closest-hit updates.
+#     Every scalar the kernel consumes (list entries, row fields) comes
+#     from VMEM fetches the scalar unit can run ahead on; nothing feeds
+#     back from the VPU — the loop runs at vector throughput (the
+#     measured fixed-trip regime, ~21.5 ns per 100-vector-op visit),
+#     not at drain latency.  List padding points at a guaranteed inert
+#     zero-triangle row (|det| < eps fails every test), so no masking is
+#     needed past the end; the trip count arrives via scalar prefetch.
+#
+# Result parity: identical hit (t, rec, u, v) to the skip walk / stream
+# oracle — leaf rows are processed in the same stream order with the same
+# strictly-closer replacement, and rows pruned here (own-box miss) cannot
+# contain qualifying hits.  Inactive rays are killed by t_max = -FAR
+# (t >= eps can never beat it), not a mask.
+
+
+def _packet_bits(box_lo, box_hi, o3, inv3, tm):
+    """Slab-test all E own-boxes against one packet: box_lo/hi [3, E],
+    o3/inv3 [3, R], tm [R] -> bits [E] bool.  NaN boxes (inert/pad rows)
+    propagate NaN and never hit."""
+    tmin = None
+    tmax_ = None
+    for c in range(3):
+        tn = (box_lo[c][:, None] - o3[c][None, :]) * inv3[c][None, :]
+        tf = (box_hi[c][:, None] - o3[c][None, :]) * inv3[c][None, :]
+        lo_c = jnp.minimum(tn, tf)
+        hi_c = jnp.maximum(tn, tf)
+        tmin = lo_c if tmin is None else jnp.maximum(tmin, lo_c)
+        tmax_ = hi_c if tmax_ is None else jnp.minimum(tmax_, hi_c)
+    hit = (tmax_ >= tmin) & (tmin < tm[None, :]) & (tmax_ > 0.0)
+    return jnp.any(hit, axis=1)
+
+
+def _leaf_list_kernel(counts_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+                      dz_ref, tm_ref, list_ref, stream_ref,
+                      t_out, r_out, u_out, v_out, *, cap8: int):
+    p = pl.program_id(0)
+    trip = jnp.minimum(counts_ref[p], jnp.int32(cap8))
+    ox = ox_ref[0]
+    oy = oy_ref[0]
+    oz = oz_ref[0]
+    dx = dx_ref[0]
+    dy = dy_ref[0]
+    dz = dz_ref[0]
+
+    def group(gi, c):
+        best_t, best_r, best_u, best_v = c
+        lrow = list_ref[0, pl.ds(gi, 1), :]
+        for e in range(LEAF_TRIS):
+            ridx = lrow[0, e]
+            row = stream_ref[pl.ds(ridx, 1), :]
+            for j in range(WIDTH):
+                b = REC * j
+                v0x = row[0, b + 0]
+                v0y = row[0, b + 1]
+                v0z = row[0, b + 2]
+                e1x = row[0, b + 3]
+                e1y = row[0, b + 4]
+                e1z = row[0, b + 5]
+                e2x = row[0, b + 6]
+                e2y = row[0, b + 7]
+                e2z = row[0, b + 8]
+                hx = dy * e2z - dz * e2y
+                hy = dz * e2x - dx * e2z
+                hz = dx * e2y - dy * e2x
+                a = e1x * hx + e1y * hy + e1z * hz
+                f = jnp.float32(1.0) / a
+                sx = ox - v0x
+                sy = oy - v0y
+                sz = oz - v0z
+                u = f * (sx * hx + sy * hy + sz * hz)
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                v = f * (dx * qx + dy * qy + dz * qz)
+                t = f * (e2x * qx + e2y * qy + e2z * qz)
+                hit = (
+                    (jnp.abs(a) >= _EPS)
+                    & (u >= 0.0) & (u <= 1.0)
+                    & (v >= 0.0) & (u + v <= 1.0)
+                    & (t >= _EPS) & (t < best_t)
+                )
+                best_t = jnp.where(hit, t, best_t)
+                best_r = jnp.where(hit, ridx * LEAF_TRIS + j, best_r)
+                best_u = jnp.where(hit, u, best_u)
+                best_v = jnp.where(hit, v, best_v)
+        return best_t, best_r, best_u, best_v
+
+    tm0 = tm_ref[0]
+    init = (
+        tm0,
+        jnp.full(tm0.shape, -1, jnp.int32),
+        jnp.zeros(tm0.shape, jnp.float32),
+        jnp.zeros(tm0.shape, jnp.float32),
+    )
+    bt, br, bu, bv = jax.lax.fori_loop(0, trip, group, init)
+    t_out[0] = bt
+    r_out[0] = br
+    u_out[0] = bu
+    v_out[0] = bv
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "any_hit", "interpret", "cap8", "inert_row"))
+def _traverse_bits_padded(stream, rec_slot, box_lo, box_hi, leaf_rows,
+                          anc_leaf, ox, oy, oz, dx, dy, dz, tm, ac,
+                          any_hit: bool, interpret: bool,
+                          cap8: int, inert_row: int):
+    g, sub, _ = ox.shape
+    R = sub * LANE
+    E = stream.shape[0]
+    L = leaf_rows.shape[0]
+    cap = cap8 * LEAF_TRIS
+
+    # Inactive rays: t_max = -FAR makes every box test (tmin < tm) and
+    # every triangle test (t < best_t) fail — no masks anywhere.
+    tmf = jnp.where(ac != 0, tm, -_FAR).reshape(g, R)
+    o3 = jnp.stack([ox, oy, oz]).reshape(3, g, R)
+    d3 = jnp.stack([dx, dy, dz]).reshape(3, g, R)
+    inv3 = jnp.float32(1.0) / d3
+
+    # phase 1: per-packet row bits (sequential over packets: each body is
+    # a dense [E, R] slab sweep XLA tiles well; lax.map compiles it once).
+    def body(args):
+        o_p, i_p, t_p = args
+        return _packet_bits(box_lo, box_hi, o_p, i_p, t_p)
+
+    bits = jax.lax.map(
+        body, (jnp.moveaxis(o3, 1, 0), jnp.moveaxis(inv3, 1, 0), tmf))
+
+    # phase 1.5: visited leaf rows = AND of bits along each root path.
+    vis = bits[:, anc_leaf[:, 0]]
+    for k in range(1, anc_leaf.shape[1]):
+        vis = vis & bits[:, anc_leaf[:, k]]
+    counts = vis.sum(axis=1, dtype=jnp.int32)            # [g]
+    key = jnp.cumsum(vis, axis=1, dtype=jnp.int32) - 1   # [g, L]
+    pid = jnp.arange(g, dtype=jnp.int32)[:, None]
+    dest = jnp.where(vis, pid * cap + key, g * cap)      # OOB = dropped
+    flat = jnp.full((g * cap,), inert_row, jnp.int32)
+    flat = flat.at[dest.reshape(-1)].set(
+        jnp.broadcast_to(leaf_rows[None, :], (g, L)).reshape(-1),
+        mode="drop")
+    list3d = flat.reshape(g, cap8, LEAF_TRIS)
+    group_counts = (counts + LEAF_TRIS - 1) // LEAF_TRIS
+
+    # phase 2: list-driven leaf intersection kernel.
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, sub, LANE), lambda p, s: (p, 0, 0)),
+            pl.BlockSpec((1, sub, LANE), lambda p, s: (p, 0, 0)),
+            pl.BlockSpec((1, sub, LANE), lambda p, s: (p, 0, 0)),
+            pl.BlockSpec((1, sub, LANE), lambda p, s: (p, 0, 0)),
+            pl.BlockSpec((1, sub, LANE), lambda p, s: (p, 0, 0)),
+            pl.BlockSpec((1, sub, LANE), lambda p, s: (p, 0, 0)),
+            pl.BlockSpec((1, sub, LANE), lambda p, s: (p, 0, 0)),
+            pl.BlockSpec((1, cap8, LEAF_TRIS), lambda p, s: (p, 0, 0)),
+            pl.BlockSpec((E, LANE), lambda p, s: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, sub, LANE), lambda p, s: (p, 0, 0))
+            for _ in range(4)
+        ],
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((g, sub, LANE), jnp.float32),
+        jax.ShapeDtypeStruct((g, sub, LANE), jnp.int32),
+        jax.ShapeDtypeStruct((g, sub, LANE), jnp.float32),
+        jax.ShapeDtypeStruct((g, sub, LANE), jnp.float32),
+    ]
+    kernel = functools.partial(_leaf_list_kernel, cap8=cap8)
+    t_o, r_o, u_o, v_o = pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape,
+        interpret=interpret,
+    )(group_counts, ox, oy, oz, dx, dy, dz,
+      tmf.reshape(g, sub, LANE), list3d, stream)
+    return t_o, r_o, u_o, v_o
+
+
 MULTIBLOCK_CHUNK = 64 * BLOCK
 
 
@@ -995,6 +1218,34 @@ def traverse_wide(
             [x, jnp.full((pad,), fill, x.dtype)]
         ) if pad else x
         return x.reshape(g, sub, LANE)
+
+    if algo == "bits":
+        assert wt.box_lo is not None, \
+            "WideTrace lacks bits metadata (rebuild the stream)"
+        L = wt.leaf_rows.shape[0]
+        cap8 = -(-int(L) // LEAF_TRIS)
+        t_o, r_o, u_o, v_o = _traverse_bits_padded(
+            wt.stream, wt.rec_slot, wt.box_lo, wt.box_hi,
+            wt.leaf_rows, wt.anc_leaf,
+            prep(origin[:, 0]), prep(origin[:, 1]), prep(origin[:, 2]),
+            prep(direction[:, 0], 1), prep(direction[:, 1], 1),
+            prep(direction[:, 2], 1),
+            prep(t_max.astype(jnp.float32)), prep(active.astype(jnp.int32)),
+            any_hit, interpret, cap8, int(wt.inert_row),
+        )
+
+        def unprep(x):
+            return x.reshape(n_pad)[:n]
+
+        rec = unprep(r_o)
+        prim = jnp.where(
+            rec >= 0, jnp.take(wt.rec_slot, jnp.maximum(rec, 0)), -1)
+        return Hit(
+            prim=jnp.where(active, prim, -1),
+            t=unprep(t_o),
+            u=unprep(u_o),
+            v=unprep(v_o),
+        )
 
     t_o, r_o, u_o, v_o, it_o = _traverse_padded(
         wt.stream, wt.rec_slot,

@@ -77,6 +77,16 @@ class WideStream(NamedTuple):
     slot_kind: np.ndarray | None = None  # [E, 8] int8
     slot_a: np.ndarray | None = None     # [E, 8] int32
     slot_b: np.ndarray | None = None     # [E, 8] int32
+    # Per-row OWN bounding box (leaf rows: bounds of their triangles; node
+    # rows: union of slot boxes; inert pad rows: NaN = never hit) and the
+    # root-path row-index chain [self, parent, ..., root] padded by
+    # repeating self — the inputs of the "bits" list-driven traversal
+    # (accel/pallas_wide.py): a leaf row can contain a hit only if every
+    # box on its root path is hit, so per-packet hit bits over own-boxes
+    # AND-gathered along `anc` give an exact visited-leaf-row list.
+    box_lo: np.ndarray | None = None     # [E_pad, 3] f32
+    box_hi: np.ndarray | None = None     # [E_pad, 3] f32
+    anc: np.ndarray | None = None        # [E_pad, MAXD] int32
 
 
 def _fill_leaf_rows(stream, rec_slot, tv0, tv1, tv2):
@@ -184,9 +194,10 @@ def build_wide_stream(bvh: BVH, tri_v0, tri_v1, tri_v2) -> WideStream:
 
     rows: list[np.ndarray] = []
     recs: list[np.ndarray] = []
+    chains: list[tuple[int, ...]] = []  # per row: enclosing node-row chain
     provenance: list[tuple[int, int, int, int, int]] = []  # row,slot,kind,a,b
 
-    def emit_leaf_row(tri_slots) -> int:
+    def emit_leaf_row(tri_slots, chain=()) -> int:
         """One leaf item -> one row (<= 8 tris); returns its position.
         Triangle data is filled vectorized afterwards (_fill_leaf_rows)."""
         pos = len(rows)
@@ -197,15 +208,18 @@ def build_wide_stream(bvh: BVH, tri_v0, tri_v1, tri_v2) -> WideStream:
         row[IS_LEAF_LANE:SKIP_LANE + 1] = meta.view(np.float32)
         rows.append(row)
         recs.append(rec)
+        chains.append(chain)
         return pos
 
     depth_seen = [0]
 
-    def emit_node(items, depth=1):
+    def emit_node(items, depth=1, chain=()):
         depth_seen[0] = max(depth_seen[0], depth)
         pos = len(rows)
         rows.append(np.zeros(LANE, np.float32))  # placeholder
         recs.append(np.full(LEAF_TRIS, -1, np.int32))
+        chains.append(chain)
+        child_chain = chain + (pos,)
 
         boxes = []
         child_pos: list[int] = []   # per slot: stream position
@@ -222,12 +236,13 @@ def build_wide_stream(bvh: BVH, tri_v0, tri_v1, tri_v2) -> WideStream:
             else:
                 first, cnt = (int(left_first[it[1]]), int(count[it[1]])) \
                     if it[0] == "n" else (it[1], it[2])
-                child_pos.append(emit_leaf_row(range(first, first + cnt)))
+                child_pos.append(
+                    emit_leaf_row(range(first, first + cnt), child_chain))
                 child_leaf.append(1)
                 provenance.append((pos, k, 2, first, cnt))
 
         for k, child_items in interior:
-            child_pos[k] = emit_node(child_items, depth + 1)
+            child_pos[k] = emit_node(child_items, depth + 1, child_chain)
 
         row = np.zeros(LANE, np.float32)
         for k, (lo, hi) in enumerate(boxes):
@@ -258,13 +273,16 @@ def build_wide_stream(bvh: BVH, tri_v0, tri_v1, tri_v2) -> WideStream:
     emit_node(root_items)
 
     n_entries = len(rows)
-    # Pad rows to a multiple of 8 sublanes with inert leaf rows (zero tris).
-    while len(rows) % 8:
+    # Pad rows to a multiple of 8 sublanes with inert leaf rows (zero
+    # tris) — always at least one, so the bits path has an inert row to
+    # point list padding at.
+    while len(rows) % 8 or len(rows) == n_entries:
         row = np.zeros(LANE, np.float32)
         row[IS_LEAF_LANE:SKIP_LANE + 1] = np.array(
             [1, len(rows) + 1], np.int32).view(np.float32)
         rows.append(row)
         recs.append(np.full(LEAF_TRIS, -1, np.int32))
+        chains.append(())
 
     stream = np.stack(rows).astype(np.float32)
     rec_slot = np.concatenate(recs).astype(np.int32)
@@ -279,9 +297,55 @@ def build_wide_stream(bvh: BVH, tri_v0, tri_v1, tri_v2) -> WideStream:
         slot_kind[r, k] = kind
         slot_a[r, k] = a
         slot_b[r, k] = b
+    maxd = max(len(c) for c in chains) + 1
+    anc = np.empty((e_pad, maxd), np.int32)
+    for i, c in enumerate(chains):
+        path = (i,) + tuple(reversed(c))
+        anc[i, :len(path)] = path
+        anc[i, len(path):] = i  # pad by repeating self (idempotent AND)
+    box_lo, box_hi = compute_own_boxes(stream, rec_slot, n_entries)
     return WideStream(stream, rec_slot, n_entries,
                       n_entries - n_leaf, n_leaf, depth_seen[0],
-                      slot_kind, slot_a, slot_b)
+                      slot_kind, slot_a, slot_b,
+                      box_lo, box_hi, anc)
+
+
+def compute_own_boxes(stream, rec_slot, n_entries):
+    """Per-row own AABB from the packed stream: node rows = union of their
+    (non-NaN) slot boxes, leaf rows = bounds over their triangle records,
+    inert rows (zero tris / padding) = NaN boxes (never hit — NaN fails
+    every slab comparison, same convention as empty node slots)."""
+    e_pad = stream.shape[0]
+    lo = np.full((e_pad, 3), np.nan, np.float32)
+    hi = np.full((e_pad, 3), np.nan, np.float32)
+    meta_i = stream[:, IS_LEAF_LANE].view(np.int32)
+    is_leaf = meta_i == 1
+    is_leaf[n_entries:] = True
+
+    node = np.nonzero(~is_leaf[:n_entries])[0]
+    if len(node):
+        slabs = stream[node].reshape(len(node), WIDTH, REC)[:, :, :6]
+        with np.errstate(invalid="ignore"):
+            lo[node] = np.nanmin(slabs[:, :, 0:3], axis=1)
+            hi[node] = np.nanmax(slabs[:, :, 3:6], axis=1)
+
+    valid = rec_slot >= 0
+    ridx = np.nonzero(valid)[0] // LEAF_TRIS
+    lane0 = (np.nonzero(valid)[0] % LEAF_TRIS) * REC
+    if len(ridx):
+        v0 = np.stack([stream[ridx, lane0 + c] for c in range(3)], 1)
+        v1 = v0 + np.stack([stream[ridx, lane0 + 3 + c] for c in range(3)], 1)
+        v2 = v0 + np.stack([stream[ridx, lane0 + 6 + c] for c in range(3)], 1)
+        tl = np.minimum(np.minimum(v0, v1), v2)
+        th = np.maximum(np.maximum(v0, v1), v2)
+        acc_lo = np.full((e_pad, 3), np.inf, np.float32)
+        acc_hi = np.full((e_pad, 3), -np.inf, np.float32)
+        np.minimum.at(acc_lo, ridx, tl)
+        np.maximum.at(acc_hi, ridx, th)
+        occ = np.isfinite(acc_lo[:, 0])
+        lo[occ] = acc_lo[occ]
+        hi[occ] = acc_hi[occ]
+    return lo, hi
 
 
 def refit_wide_stream(ws: WideStream, bvh: BVH,
@@ -322,7 +386,8 @@ def refit_wide_stream(ws: WideStream, bvh: BVH,
         for c in range(3):
             stream[rl, REC * kl + 0 + c] = lo[:, c]
             stream[rl, REC * kl + 3 + c] = hi[:, c]
-    return ws._replace(stream=stream)
+    box_lo, box_hi = compute_own_boxes(stream, ws.rec_slot, ws.n_entries)
+    return ws._replace(stream=stream, box_lo=box_lo, box_hi=box_hi)
 
 
 # --------------------------------------------------------------------------

@@ -92,6 +92,14 @@ class SceneStatic(NamedTuple):
     tri_count: int
 
 
+def _leaf_row_ids(ws):
+    """Real leaf-row indices of a WideStream, in stream order (the bits
+    traversal's compaction domain; accel/pallas_wide.py)."""
+    from ..accel.wide import IS_LEAF_LANE
+    meta_i = ws.stream[:, IS_LEAF_LANE].view(np.int32)
+    return np.nonzero(meta_i[:ws.n_entries] == 1)[0].astype(np.int32)
+
+
 def _dedupe_materials(scene: Scene):
     mats, ids = [], {}
     for inst in scene.instances:
@@ -197,6 +205,8 @@ class HostCompiled:
                     nodes_packed=j(nodes_packed),
                     tris_packed=j(tris_packed),
                     wide_stream=j(ws.stream),
+                    wide_box_lo=j(ws.box_lo.T.copy()),
+                    wide_box_hi=j(ws.box_hi.T.copy()),
                 ),
                 tri_n0=j(self.samp_n0[perm]),
                 tri_n1=j(self.samp_n1[perm]),
@@ -229,6 +239,10 @@ class HostCompiled:
                 tris_packed=j(tris_packed),
                 wide_stream=j(ws.stream),
                 wide_rec_slot=j(ws.rec_slot),
+                wide_box_lo=j(ws.box_lo.T.copy()),
+                wide_box_hi=j(ws.box_hi.T.copy()),
+                wide_leaf_rows=j(_leaf_row_ids(ws)),
+                wide_anc_leaf=j(ws.anc[_leaf_row_ids(ws)]),
             ),
             tri_inst=j(self.tri_inst[perm]),
             tri_n0=j(self.samp_n0[perm]),

@@ -217,7 +217,12 @@ def _dispatch_traverse(cfg: RenderConfig, trace, origin, direction, t_max,
             from ..accel.pallas_wide import WideTrace, traverse_wide
 
             return traverse_wide(
-                WideTrace(trace.wide_stream, trace.wide_rec_slot),
+                WideTrace(trace.wide_stream, trace.wide_rec_slot,
+                          box_lo=trace.wide_box_lo,
+                          box_hi=trace.wide_box_hi,
+                          leaf_rows=trace.wide_leaf_rows,
+                          anc_leaf=trace.wide_anc_leaf,
+                          inert_row=int(trace.wide_stream.shape[0]) - 1),
                 origin, direction, t_max, active,
                 any_hit=any_hit, interpret=cfg.pallas_interpret,
                 algo=cfg.algo, block_rays=cfg.block_rays,

@@ -37,8 +37,8 @@ def _rays(n, seed=0, span=6.0):
 
 
 def _wt(host):
-    return WideTrace(host.render_scene.trace.wide_stream,
-                     host.render_scene.trace.wide_rec_slot)
+    from surf_tpu.accel.pallas_wide import device_wide_trace
+    return device_wide_trace(host._ws)
 
 
 def test_stream_layout(indoor):
@@ -129,6 +129,63 @@ def test_wide_stack_matches_skip(box):
                          True, interpret=True, algo="stack")
     assert np.array_equal(np.asarray(ha_s.prim) >= 0,
                           np.asarray(ha_k.prim) >= 0)
+
+
+def test_bits_matches_oracle_indoor(indoor):
+    """algo="bits" (three-phase list-driven traversal) must reproduce the
+    stream oracle's closest hit exactly (same leaf order, same
+    strictly-closer updates; pruned rows provably hitless)."""
+    ws = indoor._ws
+    n = 2048 + 301  # exercise packet padding
+    o, d = _rays(n, seed=11, span=3.0)
+    tmax = jnp.full(n, 1e30, jnp.float32)
+    act = np.ones(n, bool)
+    act[::13] = False
+    hb = traverse_wide(_wt(indoor), o, d, tmax, jnp.asarray(act),
+                       False, interpret=True, algo="bits")
+    t_w, rec, _, _ = traverse_stream_np(ws, np.asarray(o), np.asarray(d),
+                                        np.full(n, 1e30, np.float32))
+    slot = np.where(rec >= 0, ws.rec_slot[np.maximum(rec, 0)], -1)
+    assert np.array_equal(slot[act], np.asarray(hb.prim)[act])
+    both = (slot >= 0) & act
+    assert np.allclose(t_w[both], np.asarray(hb.t)[both], rtol=1e-6)
+    assert (np.asarray(hb.prim)[~act] == -1).all()
+    # any-hit occlusion parity at finite range
+    hb2 = traverse_wide(_wt(indoor), o, d, jnp.full(n, 6.0, jnp.float32),
+                        jnp.asarray(act), True, interpret=True, algo="bits")
+    t2, rec2, _, _ = traverse_stream_np(
+        ws, np.asarray(o), np.asarray(d), np.full(n, 6.0, np.float32),
+        any_hit=True)
+    assert np.array_equal((rec2 >= 0)[act], (np.asarray(hb2.prim) >= 0)[act])
+
+
+def test_bits_after_refit(indoor):
+    """Refit must refresh the per-row own boxes the bits path culls by."""
+    from surf_tpu.accel.builder import refit, triangle_bounds
+    from surf_tpu.accel.wide import refit_wide_stream
+    from surf_tpu.accel.pallas_wide import device_wide_trace
+
+    perm = indoor.bvh.indices.astype(np.int64)
+    tv0 = indoor.samp_v0[perm]
+    tv1 = indoor.samp_v1[perm]
+    tv2 = indoor.samp_v2[perm]
+    ws = build_wide_stream(indoor.bvh, tv0, tv1, tv2)
+    rng = np.random.default_rng(5)
+    delta = rng.normal(0, 0.08, tv0.shape).astype(np.float32)
+    tv0m, tv1m, tv2m = tv0 + delta, tv1 + delta, tv2 + delta
+    lo, hi = triangle_bounds(tv0m, tv1m, tv2m)
+    bvh2 = refit(indoor.bvh, lo[np.argsort(perm)], hi[np.argsort(perm)])
+    ws2 = refit_wide_stream(ws, bvh2, tv0m, tv1m, tv2m)
+
+    n = 1024
+    o, d = _rays(n, seed=12, span=3.0)
+    hb = traverse_wide(device_wide_trace(ws2), o, d,
+                       jnp.full(n, 1e30, jnp.float32), jnp.ones(n, bool),
+                       False, interpret=True, algo="bits")
+    t_w, rec, _, _ = traverse_stream_np(ws2, np.asarray(o), np.asarray(d),
+                                        np.full(n, 1e30, np.float32))
+    slot = np.where(rec >= 0, ws2.rec_slot[np.maximum(rec, 0)], -1)
+    assert np.array_equal(slot, np.asarray(hb.prim))
 
 
 @pytest.mark.parametrize("algo", ["stack", "skip2", "spec2", "spec4"])
