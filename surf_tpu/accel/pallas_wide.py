@@ -61,39 +61,55 @@ class WideTrace(NamedTuple):
     traced leaf — it sizes the algo="stack" unrolled register stack at
     trace time; 0 = unknown, falls back to STACK_DEPTH).
 
-    The algo="bits" list-driven path additionally carries per-row own
-    boxes (SoA, [3, E_pad] f32), the leaf-row index list, and each leaf
-    row's root-path chain (anc_leaf, [L, MAXD] int32, self-padded); see
-    traverse_wide_bits.  ``inert_row`` is a guaranteed zero-triangle pad
-    row used as list padding (a Python int, static)."""
+    The algo="bits" list-driven path instead consumes a dense LeafTable
+    (accel/wide.py): ltab/lrec are the 8-tris-per-row packed rows + their
+    rec->tri-slot map, box_lo/hi ([3, E] SoA) the leaf-row + hierarchy
+    boxes, and anc ([n_rows, MAXD]) each leaf row's root-path box chain.
+    ``inert_row`` is a guaranteed zero-triangle pad row used as list
+    padding (a Python int, static)."""
 
     stream: jnp.ndarray    # [E_pad, 128] f32
     rec_slot: jnp.ndarray  # [E_pad * 8] int32
     max_depth: int = 0
-    box_lo: jnp.ndarray | None = None    # [3, E_pad] f32
-    box_hi: jnp.ndarray | None = None    # [3, E_pad] f32
-    leaf_rows: jnp.ndarray | None = None  # [L] int32 (stream order)
-    anc_leaf: jnp.ndarray | None = None   # [L, MAXD] int32
+    ltab: jnp.ndarray | None = None      # [n_pad, 128] f32
+    lrec: jnp.ndarray | None = None      # [n_pad * 8] int32
+    box_lo: jnp.ndarray | None = None    # [3, E] f32
+    box_hi: jnp.ndarray | None = None    # [3, E] f32
+    anc: jnp.ndarray | None = None       # [n_rows, MAXD] int32
     inert_row: int = 0
 
 
 def device_wide_trace(ws: WideStream) -> WideTrace:
-    extra = {}
-    if ws.box_lo is not None:
-        meta_i = ws.stream[:, IS_LEAF_LANE].view(np.int32)
-        leaf_rows = np.nonzero(meta_i[:ws.n_entries] == 1)[0].astype(np.int32)
-        extra = dict(
-            box_lo=jnp.asarray(ws.box_lo.T.copy()),
-            box_hi=jnp.asarray(ws.box_hi.T.copy()),
-            leaf_rows=jnp.asarray(leaf_rows),
-            anc_leaf=jnp.asarray(ws.anc[leaf_rows]),
-            inert_row=int(ws.stream.shape[0] - 1),
-        )
+    """Load a host WideStream (+ a dense LeafTable derived from its leaf
+    records) to device.  The triangle set is reconstructed from the
+    stream's own leaf rows so callers need not re-supply vertices."""
+    from .wide import build_leaf_table
+
+    valid = ws.rec_slot >= 0
+    slots = ws.rec_slot[valid]
+    ridx = np.nonzero(valid)[0] // LEAF_TRIS
+    lane0 = (np.nonzero(valid)[0] % LEAF_TRIS) * REC
+    T = int(slots.max()) + 1 if len(slots) else 0
+    tv0 = np.zeros((T, 3), np.float32)
+    tv1 = np.zeros((T, 3), np.float32)
+    tv2 = np.zeros((T, 3), np.float32)
+    for c in range(3):
+        tv0[slots, c] = ws.stream[ridx, lane0 + c]
+        tv1[slots, c] = ws.stream[ridx, lane0 + c] + \
+            ws.stream[ridx, lane0 + 3 + c]
+        tv2[slots, c] = ws.stream[ridx, lane0 + c] + \
+            ws.stream[ridx, lane0 + 6 + c]
+    lt = build_leaf_table(tv0, tv1, tv2)
     return WideTrace(
         stream=jnp.asarray(ws.stream),
         rec_slot=jnp.asarray(ws.rec_slot),
         max_depth=int(ws.max_depth),
-        **extra,
+        ltab=jnp.asarray(lt.table),
+        lrec=jnp.asarray(lt.rec_slot),
+        box_lo=jnp.asarray(lt.box_lo.T.copy()),
+        box_hi=jnp.asarray(lt.box_hi.T.copy()),
+        anc=jnp.asarray(lt.anc),
+        inert_row=int(lt.table.shape[0] - 1),
     )
 
 
@@ -1060,14 +1076,15 @@ def _leaf_list_kernel(counts_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "any_hit", "interpret", "cap8", "inert_row"))
-def _traverse_bits_padded(stream, rec_slot, box_lo, box_hi, leaf_rows,
-                          anc_leaf, ox, oy, oz, dx, dy, dz, tm, ac,
+def _traverse_bits_padded(ltab, box_lo, box_hi, anc,
+                          ox, oy, oz, dx, dy, dz, tm, ac,
                           any_hit: bool, interpret: bool,
                           cap8: int, inert_row: int):
     g, sub, _ = ox.shape
     R = sub * LANE
-    E = stream.shape[0]
-    L = leaf_rows.shape[0]
+    E = ltab.shape[0]
+    L = anc.shape[0]
+    leaf_rows = jnp.arange(L, dtype=jnp.int32)
     cap = cap8 * LEAF_TRIS
 
     # Inactive rays: t_max = -FAR makes every box test (tmin < tm) and
@@ -1079,17 +1096,24 @@ def _traverse_bits_padded(stream, rec_slot, box_lo, box_hi, leaf_rows,
 
     # phase 1: per-packet row bits (sequential over packets: each body is
     # a dense [E, R] slab sweep XLA tiles well; lax.map compiles it once).
+    # lax.map lowers to scan, so the cond is a REAL branch — packets with
+    # no live ray (compacted tail waves) skip the whole sweep.
+    EB = box_lo.shape[1]
+
     def body(args):
         o_p, i_p, t_p = args
-        return _packet_bits(box_lo, box_hi, o_p, i_p, t_p)
+        return jax.lax.cond(
+            jnp.any(t_p > -_FAR),
+            lambda: _packet_bits(box_lo, box_hi, o_p, i_p, t_p),
+            lambda: jnp.zeros((EB,), bool))
 
     bits = jax.lax.map(
         body, (jnp.moveaxis(o3, 1, 0), jnp.moveaxis(inv3, 1, 0), tmf))
 
     # phase 1.5: visited leaf rows = AND of bits along each root path.
-    vis = bits[:, anc_leaf[:, 0]]
-    for k in range(1, anc_leaf.shape[1]):
-        vis = vis & bits[:, anc_leaf[:, k]]
+    vis = bits[:, anc[:, 0]]
+    for k in range(1, anc.shape[1]):
+        vis = vis & bits[:, anc[:, k]]
     counts = vis.sum(axis=1, dtype=jnp.int32)            # [g]
     key = jnp.cumsum(vis, axis=1, dtype=jnp.int32) - 1   # [g, L]
     pid = jnp.arange(g, dtype=jnp.int32)[:, None]
@@ -1132,7 +1156,7 @@ def _traverse_bits_padded(stream, rec_slot, box_lo, box_hi, leaf_rows,
         kernel, grid_spec=grid_spec, out_shape=out_shape,
         interpret=interpret,
     )(group_counts, ox, oy, oz, dx, dy, dz,
-      tmf.reshape(g, sub, LANE), list3d, stream)
+      tmf.reshape(g, sub, LANE), list3d, ltab)
     return t_o, r_o, u_o, v_o
 
 
@@ -1220,13 +1244,12 @@ def traverse_wide(
         return x.reshape(g, sub, LANE)
 
     if algo == "bits":
-        assert wt.box_lo is not None, \
-            "WideTrace lacks bits metadata (rebuild the stream)"
-        L = wt.leaf_rows.shape[0]
+        assert wt.ltab is not None, \
+            "WideTrace lacks a LeafTable (rebuild via device_wide_trace)"
+        L = wt.anc.shape[0]
         cap8 = -(-int(L) // LEAF_TRIS)
         t_o, r_o, u_o, v_o = _traverse_bits_padded(
-            wt.stream, wt.rec_slot, wt.box_lo, wt.box_hi,
-            wt.leaf_rows, wt.anc_leaf,
+            wt.ltab, wt.box_lo, wt.box_hi, wt.anc,
             prep(origin[:, 0]), prep(origin[:, 1]), prep(origin[:, 2]),
             prep(direction[:, 0], 1), prep(direction[:, 1], 1),
             prep(direction[:, 2], 1),
@@ -1239,7 +1262,7 @@ def traverse_wide(
 
         rec = unprep(r_o)
         prim = jnp.where(
-            rec >= 0, jnp.take(wt.rec_slot, jnp.maximum(rec, 0)), -1)
+            rec >= 0, jnp.take(wt.lrec, jnp.maximum(rec, 0)), -1)
         return Hit(
             prim=jnp.where(active, prim, -1),
             t=unprep(t_o),

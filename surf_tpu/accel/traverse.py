@@ -63,11 +63,12 @@ class TraceArrays(NamedTuple):
     wide_rec_slot: jnp.ndarray | None = None # [E*8] i32 rec -> tri slot
     # (accel/wide.py; None in unit-test fixtures that only exercise the
     # binary kernels — a None leaf is an empty pytree subtree.)
-    # algo="bits" metadata (accel/pallas_wide.py bits path):
-    wide_box_lo: jnp.ndarray | None = None   # [3,E] f32 per-row own box
+    # algo="bits" dense LeafTable (accel/wide.py build_leaf_table):
+    wide_ltab: jnp.ndarray | None = None     # [n_pad,128] f32 packed rows
+    wide_lrec: jnp.ndarray | None = None     # [n_pad*8] i32 rec->tri slot
+    wide_box_lo: jnp.ndarray | None = None   # [3,E] f32 row+hierarchy boxes
     wide_box_hi: jnp.ndarray | None = None   # [3,E] f32
-    wide_leaf_rows: jnp.ndarray | None = None  # [L] i32
-    wide_anc_leaf: jnp.ndarray | None = None   # [L,MAXD] i32
+    wide_anc: jnp.ndarray | None = None      # [n_rows,MAXD] i32 root paths
 
 
 def pack_records_np(f32_cols, i32_cols) -> np.ndarray:

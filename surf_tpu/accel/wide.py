@@ -310,6 +310,67 @@ def build_wide_stream(bvh: BVH, tri_v0, tri_v1, tri_v2) -> WideStream:
                       box_lo, box_hi, anc)
 
 
+class LeafTable(NamedTuple):
+    """Dense leaf table for the bits traversal (accel/pallas_wide.py):
+    8 consecutive leaf-order triangles per 128-lane row (~100% occupancy
+    vs ~42% for the SAH-shaped stream leaf rows on the indoor scene) plus
+    an arithmetic 8-ary AABB hierarchy over consecutive rows.  Measured
+    (scripts/leaf_table_study.py): 4,105 rows + 591 hierarchy boxes vs
+    9,846 + 3,256 for the stream layout, at only ~1.3x the visited-row
+    count — phase-1 sweep 2.8x smaller, phase-2 rows all-useful."""
+
+    table: np.ndarray     # [n_pad, 128] f32 (v0/e1/e2 per 16-lane record)
+    rec_slot: np.ndarray  # [n_pad * 8] int32 -> leaf-order tri slot (-1)
+    box_lo: np.ndarray    # [E, 3] f32 (rows then hierarchy levels)
+    box_hi: np.ndarray    # [E, 3]
+    anc: np.ndarray       # [n_rows, MAXD] int32 (self, parent, ..., root)
+    n_rows: int           # real leaf rows
+
+
+def build_leaf_table(tv0, tv1, tv2) -> LeafTable:
+    """Pack leaf-ordered triangles densely (8/row) and build the 8-ary
+    box hierarchy over consecutive rows.  Rebuilt whole on refit (pure
+    vectorized NumPy, ~ms)."""
+    tv0 = np.asarray(tv0, np.float32)
+    tv1 = np.asarray(tv1, np.float32)
+    tv2 = np.asarray(tv2, np.float32)
+    T = len(tv0)
+    n0 = -(-T // LEAF_TRIS)
+    n_pad = -(-(n0 + 1) // 8) * 8  # >= 1 inert pad row for list padding
+    rec = np.full(n_pad * LEAF_TRIS, -1, np.int32)
+    rec[:T] = np.arange(T, dtype=np.int32)
+    table = np.zeros((n_pad, LANE), np.float32)
+    _fill_leaf_rows(table, rec, tv0, tv1, tv2)
+
+    tlo, thi = triangle_bounds(tv0, tv1, tv2)
+    lo0 = np.full((n0, 3), np.inf, np.float32)
+    hi0 = np.full((n0, 3), -np.inf, np.float32)
+    idx = np.arange(T) // LEAF_TRIS
+    np.minimum.at(lo0, idx, tlo)
+    np.maximum.at(hi0, idx, thi)
+    levels_lo, levels_hi = [lo0], [hi0]
+    while len(levels_lo[-1]) > 1:
+        cur_lo, cur_hi = levels_lo[-1], levels_hi[-1]
+        n = len(cur_lo)
+        npar = -(-n // 8)
+        plo = np.full((npar, 3), np.inf, np.float32)
+        phi = np.full((npar, 3), -np.inf, np.float32)
+        gid = np.arange(n) // 8
+        np.minimum.at(plo, gid, cur_lo)
+        np.maximum.at(phi, gid, cur_hi)
+        levels_lo.append(plo)
+        levels_hi.append(phi)
+    box_lo = np.concatenate(levels_lo)
+    box_hi = np.concatenate(levels_hi)
+    offs = np.cumsum([0] + [len(x) for x in levels_lo])
+    maxd = len(levels_lo)
+    r = np.arange(n0)
+    anc = np.empty((n0, maxd), np.int32)
+    for k in range(maxd):
+        anc[:, k] = offs[k] + r // (8 ** k)
+    return LeafTable(table, rec, box_lo, box_hi, anc, n0)
+
+
 def compute_own_boxes(stream, rec_slot, n_entries):
     """Per-row own AABB from the packed stream: node rows = union of their
     (non-NaN) slot boxes, leaf rows = bounds over their triangle records,

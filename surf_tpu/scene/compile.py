@@ -29,7 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..accel import builder
-from ..accel.wide import build_wide_stream, refit_wide_stream
+from ..accel.wide import (build_leaf_table, build_wide_stream,
+                          refit_wide_stream)
 from ..accel.traverse import (
     TraceArrays,
     build_skiplinks,
@@ -90,14 +91,6 @@ class SceneStatic(NamedTuple):
     stack_depth: int
     num_lights: int
     tri_count: int
-
-
-def _leaf_row_ids(ws):
-    """Real leaf-row indices of a WideStream, in stream order (the bits
-    traversal's compaction domain; accel/pallas_wide.py)."""
-    from ..accel.wide import IS_LEAF_LANE
-    meta_i = ws.stream[:, IS_LEAF_LANE].view(np.int32)
-    return np.nonzero(meta_i[:ws.n_entries] == 1)[0].astype(np.int32)
 
 
 def _dedupe_materials(scene: Scene):
@@ -196,6 +189,10 @@ class HostCompiled:
         else:
             ws = build_wide_stream(self.bvh, tv0, tv1, tv2)
         self._ws = ws
+        # Dense leaf table for algo="bits" (rebuilt whole — pure
+        # vectorized packing, a few ms; topology-static parts (rec_slot,
+        # anc) are only re-uploaded on full rebuilds).
+        lt = build_leaf_table(tv0, tv1, tv2)
         j = jnp.asarray
         if refit_fast:
             self.render_scene = self.render_scene._replace(
@@ -205,8 +202,9 @@ class HostCompiled:
                     nodes_packed=j(nodes_packed),
                     tris_packed=j(tris_packed),
                     wide_stream=j(ws.stream),
-                    wide_box_lo=j(ws.box_lo.T.copy()),
-                    wide_box_hi=j(ws.box_hi.T.copy()),
+                    wide_ltab=j(lt.table),
+                    wide_box_lo=j(lt.box_lo.T.copy()),
+                    wide_box_hi=j(lt.box_hi.T.copy()),
                 ),
                 tri_n0=j(self.samp_n0[perm]),
                 tri_n1=j(self.samp_n1[perm]),
@@ -239,10 +237,11 @@ class HostCompiled:
                 tris_packed=j(tris_packed),
                 wide_stream=j(ws.stream),
                 wide_rec_slot=j(ws.rec_slot),
-                wide_box_lo=j(ws.box_lo.T.copy()),
-                wide_box_hi=j(ws.box_hi.T.copy()),
-                wide_leaf_rows=j(_leaf_row_ids(ws)),
-                wide_anc_leaf=j(ws.anc[_leaf_row_ids(ws)]),
+                wide_ltab=j(lt.table),
+                wide_lrec=j(lt.rec_slot),
+                wide_box_lo=j(lt.box_lo.T.copy()),
+                wide_box_hi=j(lt.box_hi.T.copy()),
+                wide_anc=j(lt.anc),
             ),
             tri_inst=j(self.tri_inst[perm]),
             tri_n0=j(self.samp_n0[perm]),

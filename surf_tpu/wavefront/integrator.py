@@ -218,11 +218,13 @@ def _dispatch_traverse(cfg: RenderConfig, trace, origin, direction, t_max,
 
             return traverse_wide(
                 WideTrace(trace.wide_stream, trace.wide_rec_slot,
+                          ltab=trace.wide_ltab,
+                          lrec=trace.wide_lrec,
                           box_lo=trace.wide_box_lo,
                           box_hi=trace.wide_box_hi,
-                          leaf_rows=trace.wide_leaf_rows,
-                          anc_leaf=trace.wide_anc_leaf,
-                          inert_row=int(trace.wide_stream.shape[0]) - 1),
+                          anc=trace.wide_anc,
+                          inert_row=(0 if trace.wide_ltab is None else
+                                     int(trace.wide_ltab.shape[0]) - 1)),
                 origin, direction, t_max, active,
                 any_hit=any_hit, interpret=cfg.pallas_interpret,
                 algo=cfg.algo, block_rays=cfg.block_rays,
