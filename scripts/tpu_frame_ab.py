@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Frame-level A/B of traversal algos on the real TPU.
+
+Usage: timeout 3600 python -u scripts/tpu_frame_ab.py [WxH] [spp] [algo:block,...]
+Defaults: 256x256 4spp, configs skip:2048, bits:1024, bits:2048.
+
+One process, interleaved rounds (run-to-run absolute swings ~2x; only
+compare WITHIN one run — CLAUDE.md measurement protocol).
+"""
+import sys
+import time
+import warnings
+
+warnings.filterwarnings("ignore")
+sys.path.insert(0, ".")
+
+
+def main():
+    size = sys.argv[1] if len(sys.argv) > 1 else "256x256"
+    spp = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    combos = (sys.argv[3].split(",") if len(sys.argv) > 3
+              else ["skip:2048", "bits:1024", "bits:2048"])
+    W, H = map(int, size.split("x"))
+
+    import jax
+    import jax.numpy as jnp  # noqa: F401
+    import numpy as np
+
+    from surf_tpu.scene import builtin
+    from surf_tpu.scene.camera import CameraParams
+    from surf_tpu.scene.compile import HostCompiled
+    from surf_tpu.wavefront import RenderConfig
+    from surf_tpu.wavefront.integrator import (initial_seeds,
+                                               render_frame_seeded)
+
+    print("backend:", jax.default_backend(), f"{W}x{H} spp={spp}", flush=True)
+    host = HostCompiled(builtin.make_indoor_scene())
+    scene = jax.device_put(host.render_scene)
+    cp = CameraParams.from_camera(builtin.make_indoor_camera(W, H))
+
+    def make_frame(algo, block):
+        cfg = RenderConfig.for_scene(
+            host.static, W, H, 1, use_defocus=True, use_pallas=True,
+        )._replace(max_bounces=None, wave_limit=32, compact=True,
+                   algo=algo, block_rays=block)
+
+        def frame(total_samples):
+            seed = initial_seeds(cfg, total_samples)
+            acc = None
+            for _ in range(spp):
+                part, seed = render_frame_seeded(scene, cfg, cp, seed)
+                acc = part if acc is None else acc + part
+            return acc
+        return frame
+
+    frames = {}
+    for c in combos:
+        algo, block = c.split(":")
+        frames[c] = make_frame(algo, int(block))
+        t0 = time.perf_counter()
+        jax.block_until_ready(frames[c](0))  # compile+warmup
+        print(f"{c}: compiled+warm in {time.perf_counter()-t0:.1f}s",
+              flush=True)
+
+    times = {c: [] for c in combos}
+    energy = {}
+    for rnd in range(3):
+        for c in combos:
+            t0 = time.perf_counter()
+            img = jax.block_until_ready(frames[c](spp * (rnd + 1)))
+            dt = time.perf_counter() - t0
+            times[c].append(dt)
+            energy[c] = float(np.asarray(img).sum()) / spp
+            print(f"round {rnd} {c}: {dt*1e3:9.1f} ms", flush=True)
+    print()
+    for c in combos:
+        best = min(times[c])
+        print(f"{c}: best {best*1e3:9.1f} ms = "
+              f"{W*H*spp/best/1e6:.3f} M rays/s  energy={energy[c]:.1f}",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

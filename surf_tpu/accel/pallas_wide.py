@@ -1005,9 +1005,63 @@ def _packet_bits(box_lo, box_hi, o3, inv3, tm):
     return jnp.any(hit, axis=1)
 
 
-def _leaf_list_kernel(counts_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
-                      dz_ref, tm_ref, list_ref, stream_ref,
-                      t_out, r_out, u_out, v_out, *, cap8: int):
+def _mt8(row, row_i, ox, oy, oz, dx, dy, dz, c):
+    """8 Möller–Trumbore tests of one leaf-table row against a ray block;
+    the hit's prim id comes from the slot-id lane baked into the row
+    (build_leaf_table), so results need no rec->prim mapping."""
+    best_t, best_r, best_u, best_v = c
+    for j in range(WIDTH):
+        b = REC * j
+        v0x = row[0, b + 0]
+        v0y = row[0, b + 1]
+        v0z = row[0, b + 2]
+        e1x = row[0, b + 3]
+        e1y = row[0, b + 4]
+        e1z = row[0, b + 5]
+        e2x = row[0, b + 6]
+        e2y = row[0, b + 7]
+        e2z = row[0, b + 8]
+        sid = row_i[0, b + 9]
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        f = jnp.float32(1.0) / a
+        sx = ox - v0x
+        sy = oy - v0y
+        sz = oz - v0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (dx * qx + dy * qy + dz * qz)
+        t = f * (e2x * qx + e2y * qy + e2z * qz)
+        hit = (
+            (jnp.abs(a) >= _EPS)
+            & (u >= 0.0) & (u <= 1.0)
+            & (v >= 0.0) & (u + v <= 1.0)
+            & (t >= _EPS) & (t < best_t)
+        )
+        best_t = jnp.where(hit, t, best_t)
+        best_r = jnp.where(hit, sid, best_r)
+        best_u = jnp.where(hit, u, best_u)
+        best_v = jnp.where(hit, v, best_v)
+    return best_t, best_r, best_u, best_v
+
+
+def _leaf_rows_kernel(counts_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+                      dz_ref, tm_ref, rows_ref, t_out, r_out, u_out, v_out,
+                      *, cap8: int, sweep: bool):
+    """Phase-2 leaf intersection over AFFINE row addresses.
+
+    sweep=False: rows_ref is the per-packet gather-compacted row buffer
+    (block (1, cap, 128)); sweep=True: rows_ref is the full leaf table
+    (constant block) and the packet walks ALL rows — the overflow
+    fallback.  Affine addressing is the whole point: a row fetch whose
+    sublane index is data-dependent (extracted from a list) costs
+    ~150-250 ns of scalar-pipeline serialization per row on v5e, while
+    loop-affine fetches run at vector throughput (~31 ns/row measured,
+    scripts/tpu_leaf_variants_micro.py)."""
     p = pl.program_id(0)
     trip = jnp.minimum(counts_ref[p], jnp.int32(cap8))
     ox = ox_ref[0]
@@ -1018,47 +1072,14 @@ def _leaf_list_kernel(counts_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
     dz = dz_ref[0]
 
     def group(gi, c):
-        best_t, best_r, best_u, best_v = c
-        lrow = list_ref[0, pl.ds(gi, 1), :]
         for e in range(LEAF_TRIS):
-            ridx = lrow[0, e]
-            row = stream_ref[pl.ds(ridx, 1), :]
-            for j in range(WIDTH):
-                b = REC * j
-                v0x = row[0, b + 0]
-                v0y = row[0, b + 1]
-                v0z = row[0, b + 2]
-                e1x = row[0, b + 3]
-                e1y = row[0, b + 4]
-                e1z = row[0, b + 5]
-                e2x = row[0, b + 6]
-                e2y = row[0, b + 7]
-                e2z = row[0, b + 8]
-                hx = dy * e2z - dz * e2y
-                hy = dz * e2x - dx * e2z
-                hz = dx * e2y - dy * e2x
-                a = e1x * hx + e1y * hy + e1z * hz
-                f = jnp.float32(1.0) / a
-                sx = ox - v0x
-                sy = oy - v0y
-                sz = oz - v0z
-                u = f * (sx * hx + sy * hy + sz * hz)
-                qx = sy * e1z - sz * e1y
-                qy = sz * e1x - sx * e1z
-                qz = sx * e1y - sy * e1x
-                v = f * (dx * qx + dy * qy + dz * qz)
-                t = f * (e2x * qx + e2y * qy + e2z * qz)
-                hit = (
-                    (jnp.abs(a) >= _EPS)
-                    & (u >= 0.0) & (u <= 1.0)
-                    & (v >= 0.0) & (u + v <= 1.0)
-                    & (t >= _EPS) & (t < best_t)
-                )
-                best_t = jnp.where(hit, t, best_t)
-                best_r = jnp.where(hit, ridx * LEAF_TRIS + j, best_r)
-                best_u = jnp.where(hit, u, best_u)
-                best_v = jnp.where(hit, v, best_v)
-        return best_t, best_r, best_u, best_v
+            if sweep:
+                row = rows_ref[pl.ds(gi * LEAF_TRIS + e, 1), :]
+            else:
+                row = rows_ref[0, pl.ds(gi * LEAF_TRIS + e, 1), :]
+            row_i = pltpu.bitcast(row, jnp.int32)
+            c = _mt8(row, row_i, ox, oy, oz, dx, dy, dz, c)
+        return c
 
     tm0 = tm_ref[0]
     init = (
@@ -1074,17 +1095,26 @@ def _leaf_list_kernel(counts_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
     v_out[0] = bv
 
 
+# Gather-compaction capacity (leaf rows per packet).  Packets whose
+# visited set exceeds this fall back to the full-sweep kernel — still
+# affine, still correct, just unculled; incoherent mega-union packets are
+# near-sweep anyway.  1536 covers typical bounce/shadow unions at 1024-
+# 2048 ray packets on the indoor scene with headroom.
+BITS_CAP_ROWS = 1536
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "any_hit", "interpret", "cap8", "inert_row"))
+    "any_hit", "interpret", "cap_rows", "inert_row"))
 def _traverse_bits_padded(ltab, box_lo, box_hi, anc,
                           ox, oy, oz, dx, dy, dz, tm, ac,
                           any_hit: bool, interpret: bool,
-                          cap8: int, inert_row: int):
+                          cap_rows: int, inert_row: int):
     g, sub, _ = ox.shape
     R = sub * LANE
     E = ltab.shape[0]
     L = anc.shape[0]
-    leaf_rows = jnp.arange(L, dtype=jnp.int32)
+    cap_rows = min(cap_rows, E)
+    cap8 = -(-cap_rows // LEAF_TRIS)
     cap = cap8 * LEAF_TRIS
 
     # Inactive rays: t_max = -FAR makes every box test (tmin < tm) and
@@ -1110,54 +1140,76 @@ def _traverse_bits_padded(ltab, box_lo, box_hi, anc,
     bits = jax.lax.map(
         body, (jnp.moveaxis(o3, 1, 0), jnp.moveaxis(inv3, 1, 0), tmf))
 
-    # phase 1.5: visited leaf rows = AND of bits along each root path.
-    vis = bits[:, anc[:, 0]]
-    for k in range(1, anc.shape[1]):
-        vis = vis & bits[:, anc[:, k]]
+    # phase 1.5a: visited leaf rows, hierarchically — level k is visited
+    # only where level k+1's parent is (box_lo levels are stored leaf
+    # level first; sizes are the 8-ary chain of L, so the gather count is
+    # L * 8/7 instead of L * MAXD).
+    sizes = [L]
+    while sizes[-1] > 1:
+        sizes.append(-(-sizes[-1] // 8))
+    offs = np.concatenate([[0], np.cumsum(sizes)]).tolist()
+    v = bits[:, offs[len(sizes) - 1]][:, None]  # root level [g, 1]
+    for k in range(len(sizes) - 2, -1, -1):
+        idx = offs[k] + jnp.arange(sizes[k], dtype=jnp.int32)
+        v = bits[:, idx] & v[:, jnp.arange(sizes[k]) // 8]
+    vis = v  # [g, L]
+
+    # phase 1.5b: compact surviving row indices (first cap per packet),
+    # then gather the ROWS themselves so phase 2 reads affine addresses.
     counts = vis.sum(axis=1, dtype=jnp.int32)            # [g]
     key = jnp.cumsum(vis, axis=1, dtype=jnp.int32) - 1   # [g, L]
     pid = jnp.arange(g, dtype=jnp.int32)[:, None]
-    dest = jnp.where(vis, pid * cap + key, g * cap)      # OOB = dropped
+    dest = jnp.where(vis & (key < cap), pid * cap + key, g * cap)
     flat = jnp.full((g * cap,), inert_row, jnp.int32)
     flat = flat.at[dest.reshape(-1)].set(
-        jnp.broadcast_to(leaf_rows[None, :], (g, L)).reshape(-1),
+        jnp.broadcast_to(
+            jnp.arange(L, dtype=jnp.int32)[None, :], (g, L)).reshape(-1),
         mode="drop")
-    list3d = flat.reshape(g, cap8, LEAF_TRIS)
-    group_counts = (counts + LEAF_TRIS - 1) // LEAF_TRIS
+    rows3d = jnp.take(ltab, flat, axis=0).reshape(g, cap, LANE)
 
-    # phase 2: list-driven leaf intersection kernel.
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(g,),
-        in_specs=[
-            pl.BlockSpec((1, sub, LANE), lambda p, s: (p, 0, 0)),
-            pl.BlockSpec((1, sub, LANE), lambda p, s: (p, 0, 0)),
-            pl.BlockSpec((1, sub, LANE), lambda p, s: (p, 0, 0)),
-            pl.BlockSpec((1, sub, LANE), lambda p, s: (p, 0, 0)),
-            pl.BlockSpec((1, sub, LANE), lambda p, s: (p, 0, 0)),
-            pl.BlockSpec((1, sub, LANE), lambda p, s: (p, 0, 0)),
-            pl.BlockSpec((1, sub, LANE), lambda p, s: (p, 0, 0)),
-            pl.BlockSpec((1, cap8, LEAF_TRIS), lambda p, s: (p, 0, 0)),
-            pl.BlockSpec((E, LANE), lambda p, s: (0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, sub, LANE), lambda p, s: (p, 0, 0))
-            for _ in range(4)
-        ],
-    )
-    out_shape = [
-        jax.ShapeDtypeStruct((g, sub, LANE), jnp.float32),
-        jax.ShapeDtypeStruct((g, sub, LANE), jnp.int32),
-        jax.ShapeDtypeStruct((g, sub, LANE), jnp.float32),
-        jax.ShapeDtypeStruct((g, sub, LANE), jnp.float32),
-    ]
-    kernel = functools.partial(_leaf_list_kernel, cap8=cap8)
-    t_o, r_o, u_o, v_o = pl.pallas_call(
-        kernel, grid_spec=grid_spec, out_shape=out_shape,
-        interpret=interpret,
-    )(group_counts, ox, oy, oz, dx, dy, dz,
-      tmf.reshape(g, sub, LANE), list3d, ltab)
-    return t_o, r_o, u_o, v_o
+    overflow = counts > cap
+    list_counts = jnp.where(
+        overflow, 0, (counts + LEAF_TRIS - 1) // LEAF_TRIS)
+    sweep_counts = jnp.where(overflow, E // LEAF_TRIS, 0).astype(jnp.int32)
+
+    def call(kernel_sweep, cnts, rows, rows_spec):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(g,),
+            in_specs=[
+                pl.BlockSpec((1, sub, LANE), lambda p, s: (p, 0, 0))
+                for _ in range(7)
+            ] + [rows_spec],
+            out_specs=[
+                pl.BlockSpec((1, sub, LANE), lambda p, s: (p, 0, 0))
+                for _ in range(4)
+            ],
+        )
+        out_shape = [
+            jax.ShapeDtypeStruct((g, sub, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((g, sub, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((g, sub, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((g, sub, LANE), jnp.float32),
+        ]
+        kernel = functools.partial(
+            _leaf_rows_kernel,
+            cap8=(E // LEAF_TRIS if kernel_sweep else cap8),
+            sweep=kernel_sweep)
+        return pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            interpret=interpret,
+        )(cnts, ox, oy, oz, dx, dy, dz, tmf.reshape(g, sub, LANE), rows)
+
+    t_l, r_l, u_l, v_l = call(
+        False, list_counts, rows3d,
+        pl.BlockSpec((1, cap, LANE), lambda p, s: (p, 0, 0)))
+    t_s, r_s, u_s, v_s = call(
+        True, sweep_counts, ltab,
+        pl.BlockSpec((E, LANE), lambda p, s: (0, 0)))
+
+    ovf = overflow[:, None, None]
+    return (jnp.where(ovf, t_s, t_l), jnp.where(ovf, r_s, r_l),
+            jnp.where(ovf, u_s, u_l), jnp.where(ovf, v_s, v_l))
 
 
 MULTIBLOCK_CHUNK = 64 * BLOCK
@@ -1212,6 +1264,7 @@ def traverse_wide(
     return_visits: bool = False,
     algo: str = "skip",
     block_rays: int = BLOCK,
+    cap_rows: int = 0,
 ) -> Hit:
     """Drop-in replacement for accel.traverse.traverse / traverse_pallas;
     hit.prim is the leaf-order triangle slot (map through scene.perm for
@@ -1246,25 +1299,23 @@ def traverse_wide(
     if algo == "bits":
         assert wt.ltab is not None, \
             "WideTrace lacks a LeafTable (rebuild via device_wide_trace)"
-        L = wt.anc.shape[0]
-        cap8 = -(-int(L) // LEAF_TRIS)
         t_o, r_o, u_o, v_o = _traverse_bits_padded(
             wt.ltab, wt.box_lo, wt.box_hi, wt.anc,
             prep(origin[:, 0]), prep(origin[:, 1]), prep(origin[:, 2]),
             prep(direction[:, 0], 1), prep(direction[:, 1], 1),
             prep(direction[:, 2], 1),
             prep(t_max.astype(jnp.float32)), prep(active.astype(jnp.int32)),
-            any_hit, interpret, cap8, int(wt.inert_row),
+            any_hit, interpret, cap_rows or BITS_CAP_ROWS,
+            int(wt.inert_row),
         )
 
         def unprep(x):
             return x.reshape(n_pad)[:n]
 
-        rec = unprep(r_o)
-        prim = jnp.where(
-            rec >= 0, jnp.take(wt.lrec, jnp.maximum(rec, 0)), -1)
+        # best_r already carries the leaf-order tri slot (baked into the
+        # row's slot-id lanes) — no rec->prim gather needed.
         return Hit(
-            prim=jnp.where(active, prim, -1),
+            prim=jnp.where(active, unprep(r_o), -1),
             t=unprep(t_o),
             u=unprep(u_o),
             v=unprep(v_o),

@@ -341,6 +341,13 @@ def build_leaf_table(tv0, tv1, tv2) -> LeafTable:
     rec[:T] = np.arange(T, dtype=np.int32)
     table = np.zeros((n_pad, LANE), np.float32)
     _fill_leaf_rows(table, rec, tv0, tv1, tv2)
+    # Spare lane 9 of each 16-lane record carries the record's leaf-order
+    # tri slot (int32; -1 for padding) so the phase-2 kernel emits prim
+    # ids directly from the fetched row — no rec->prim gather afterwards.
+    rec2d = rec.reshape(n_pad, LEAF_TRIS)
+    for j in range(LEAF_TRIS):
+        table[:, REC * j + 9] = np.ascontiguousarray(
+            rec2d[:, j]).view(np.float32)
 
     tlo, thi = triangle_bounds(tv0, tv1, tv2)
     lo0 = np.full((n0, 3), np.inf, np.float32)

@@ -159,6 +159,25 @@ def test_bits_matches_oracle_indoor(indoor):
     assert np.array_equal((rec2 >= 0)[act], (np.asarray(hb2.prim) >= 0)[act])
 
 
+def test_bits_overflow_sweep_fallback(indoor):
+    """Packets whose visited set exceeds the gather capacity must fall
+    back to the full-sweep kernel with identical results (forced here
+    with a tiny cap_rows)."""
+    ws = indoor._ws
+    n = 1024
+    o, d = _rays(n, seed=14, span=3.0)
+    tmax = jnp.full(n, 1e30, jnp.float32)
+    act = jnp.ones(n, bool)
+    hb = traverse_wide(_wt(indoor), o, d, tmax, act, False, interpret=True,
+                       algo="bits", cap_rows=8)
+    t_w, rec, _, _ = traverse_stream_np(ws, np.asarray(o), np.asarray(d),
+                                        np.full(n, 1e30, np.float32))
+    slot = np.where(rec >= 0, ws.rec_slot[np.maximum(rec, 0)], -1)
+    assert np.array_equal(slot, np.asarray(hb.prim))
+    both = slot >= 0
+    assert np.allclose(t_w[both], np.asarray(hb.t)[both], rtol=1e-6)
+
+
 def test_bits_after_refit(indoor):
     """Refit must refresh the per-row own boxes the bits path culls by."""
     from surf_tpu.accel.builder import refit, triangle_bounds
