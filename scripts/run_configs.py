@@ -23,6 +23,20 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 OUT = "out_configs"
 
+# Traversal algo for the Pallas path; set by --algo (bench default: bits).
+ALGO = "bits"
+
+
+def _artifact(n: int, **data):
+    """Write out_configs/configN.json — the per-round captured artifact the
+    judge inspects (VERDICT r1 item 6)."""
+    import json
+
+    data["config"] = n
+    data["ts"] = time.time()
+    with open(f"{OUT}/config{n}.json", "w") as f:
+        json.dump(data, f, indent=1)
+
 
 def _setup(width, height, scene_name="indoor", min_leaf=4):
     import jax
@@ -51,7 +65,9 @@ def _render(host, cam_params, width, height, spp, max_bounces, compact=False,
     cfg = RenderConfig.for_scene(
         host.static, width, height, spp_chunk, use_defocus=True,
         use_pallas=use_pallas,
-    )._replace(max_bounces=max_bounces, compact=compact)
+    )._replace(max_bounces=max_bounces, compact=compact,
+               algo=ALGO if use_pallas else "skip",
+               block_rays=2048 if use_pallas else 1024)
     scene = jax.device_put(host.render_scene)
     seed = initial_seeds(cfg, jnp.uint32(total_samples))
     acc = None
@@ -86,6 +102,8 @@ def config1(scale):
     print(f"config1 [{w}x{h}@{spp}spp]: {'PASS' if ok else 'FAIL'} "
           f"divergent={frac:.4%} energy_rel={e_rel:.5f} "
           f"oracle={t_oracle:.1f}s wavefront={t_wf:.1f}s")
+    _artifact(1, ok=ok, width=w, height=h, spp=spp, divergent_frac=frac,
+              energy_rel=e_rel, oracle_s=t_oracle, wavefront_s=t_wf)
     return ok
 
 
@@ -103,10 +121,13 @@ def config2(scale):
     dt = time.time() - t0
     e = float(img.sum()) / spp
     save_image(f"{OUT}/config2_indoor.png", img / spp)
-    ok = np.isfinite(img).all() and e > 0
+    ok = bool(np.isfinite(img).all() and e > 0)
     print(f"config2 [{w}x{h}@{spp}spp]: {'PASS' if ok else 'FAIL'} "
           f"energy={e:.1f} time={dt:.1f}s "
           f"rays_per_s={w*h*spp/dt:.3e}")
+    _artifact(2, ok=ok, width=w, height=h, spp=spp, energy=e, time_s=dt,
+              rays_per_s=w * h * spp / dt, algo=ALGO,
+              image="config2_indoor.png")
     return ok
 
 
@@ -143,10 +164,13 @@ def config3(scale):
     ad = float(np.asarray(grads.albedo)[0, 0])
     rel = abs(fd - ad) / (abs(ad) + 1e-8)
     ok = rel < 0.1
+    cam_g = float(jnp.linalg.norm(grads.camera.position))
     print(f"config3 [{w}x{h}]: {'PASS' if ok else 'FAIL'} "
           f"albedo FD={fd:.5f} AD={ad:.5f} rel={rel:.4f} "
-          f"|camera grad|={float(jnp.linalg.norm(grads.camera.position)):.2e} "
+          f"|camera grad|={cam_g:.2e} "
           f"grad_time={t_grad:.1f}s")
+    _artifact(3, ok=ok, width=w, height=h, albedo_fd=fd, albedo_ad=ad,
+              rel_err=rel, camera_grad_norm=cam_g, grad_time_s=t_grad)
     return ok
 
 
@@ -169,9 +193,12 @@ def config4(scale):
         e = float(img.sum()) / spp
         print(f"  frame {frame}: rebuild={t_build*1e3:.0f}ms "
               f"render={times[-1]:.1f}s energy={e:.0f}")
-    ok = np.isfinite(e) and e > 0
+    ok = bool(np.isfinite(e) and e > 0)
     print(f"config4 [{w}x{h}@{spp}spp, rebuild/frame]: "
           f"{'PASS' if ok else 'FAIL'} rays_per_s={w*h*spp/times[-1]:.3e}")
+    _artifact(4, ok=ok, width=w, height=h, spp=spp, energy=e,
+              frame_times_s=times, rays_per_s=w * h * spp / times[-1],
+              rebuild_per_frame=True, algo=ALGO)
     return ok
 
 
@@ -195,26 +222,40 @@ def config5(scale):
     counts = [c for c in (1, 2, 4, 8, n_dev) if c <= n_dev]
     res = scaling_sweep(host.render_scene, cfg, cp, sorted(set(counts)))
     base = res[min(res)]
+    effs = {}
     for nd, t in sorted(res.items()):
-        eff = base / (t * nd / min(res))
-        print(f"  {nd} chips: {t*1e3:.0f} ms/frame scaling_eff={eff:.2f}")
+        effs[nd] = base / (t * nd / min(res))
+        print(f"  {nd} chips: {t*1e3:.0f} ms/frame scaling_eff={effs[nd]:.2f}")
     targets = DiffTargets.from_scene(host.render_scene, cp)
     loss, grads = grad_step_sharded(
         host.render_scene, cfg, targets, jnp.uint32(0), make_mesh(n_dev))
-    ok = np.isfinite(float(loss))
+    ok = bool(np.isfinite(float(loss)))
     print(f"config5 [{n_dev} devices]: {'PASS' if ok else 'FAIL'} "
           f"sharded loss={float(loss):.5f} "
           f"|albedo grad|={float(jnp.linalg.norm(grads.albedo)):.2e}")
+    _artifact(5, ok=ok, n_devices=n_dev, width=w, height=h,
+              ms_per_frame={str(k): v * 1e3 for k, v in sorted(res.items())},
+              scaling_eff={str(k): v for k, v in sorted(effs.items())},
+              sharded_loss=float(loss),
+              albedo_grad_norm=float(jnp.linalg.norm(grads.albedo)))
     return ok
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("configs", nargs="*", default=["1", "2", "3"],
-                   help="config numbers to run (default 1 2 3)")
+                   help="config numbers to run, or 'all' (default 1 2 3)")
     p.add_argument("--scale", type=float, default=1.0)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--algo", default="bits",
+                   help="Pallas traversal algo (bits/skip/stack/ilvN)")
+    p.add_argument("--all", action="store_true",
+                   help="run all five BASELINE configs")
     args = p.parse_args()
+    global ALGO
+    ALGO = args.algo
+    if args.all or args.configs == ["all"]:
+        args.configs = ["1", "2", "3", "4", "5"]
     if args.cpu:
         from surf_tpu.utils import force_cpu
 

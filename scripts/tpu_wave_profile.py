@@ -29,13 +29,21 @@ def main():
             W = H = int(a.split("=")[1])
     n_waves = 24
     use_wide = "--binary" not in sys.argv
+    algo = "skip"
+    block = 2048
+    for a in sys.argv:
+        if a.startswith("--algo"):
+            algo = a.split("=")[1]
+        if a.startswith("--block"):
+            block = int(a.split("=")[1])
 
     host = HostCompiled(builtin.make_indoor_scene())
     scene = jax.device_put(host.render_scene)
     cam = builtin.make_indoor_camera(W, H)
     cp = CameraParams.from_camera(cam)
     cfg = RenderConfig.for_scene(host.static, W, H, 1, use_defocus=True,
-                                 use_pallas=True)._replace(use_wide=use_wide)
+                                 use_pallas=True)._replace(
+        use_wide=use_wide, algo=algo, block_rays=block)
     vp = view_plane_jnp(cp, W, H)
     n = W * H
     lane = jnp.arange(n, dtype=jnp.uint32)
@@ -64,8 +72,8 @@ def main():
     step = jax.jit(step_fn)
     s = step(state)
     jax.tree.map(lambda x: x.block_until_ready(), s)
-    print(f"kernel={'wide' if use_wide else 'binary'} {W}x{H} "
-          f"compact={compact}", flush=True)
+    print(f"kernel={'wide' if use_wide else 'binary'} algo={algo} "
+          f"block={block} {W}x{H} compact={compact}", flush=True)
 
     total = 0.0
     for w in range(n_waves):

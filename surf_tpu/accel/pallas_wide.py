@@ -1200,9 +1200,16 @@ def _traverse_bits_padded(ltab, box_lo, box_hi, anc,
             interpret=interpret,
         )(cnts, ox, oy, oz, dx, dy, dz, tmf.reshape(g, sub, LANE), rows)
 
+    # Dead packets (compacted tail waves: every lane inactive -> counts==0,
+    # and overflow packets routed to the sweep kernel) are mapped to block 0
+    # in the index map: consecutive equal block indices skip the ~cap*LANE*4B
+    # (~786 KB at cap=1536) HBM->VMEM DMA per packet, so tail waves stop
+    # paying full-width row traffic (VERDICT r1 item 2).  trip==0 means the
+    # kernel never reads rows_ref, so the aliased block is harmless.
     t_l, r_l, u_l, v_l = call(
         False, list_counts, rows3d,
-        pl.BlockSpec((1, cap, LANE), lambda p, s: (p, 0, 0)))
+        pl.BlockSpec((1, cap, LANE),
+                     lambda p, s: (jnp.where(s[p] > 0, p, 0), 0, 0)))
     t_s, r_s, u_s, v_s = call(
         True, sweep_counts, ltab,
         pl.BlockSpec((E, LANE), lambda p, s: (0, 0)))

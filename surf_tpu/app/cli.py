@@ -98,12 +98,39 @@ def run(cfg: AppConfig) -> dict:
         f"devices={len(jax.devices())}{' (sharded)' if mesh else ''}"
     )
 
+    # Frames in flight (renderer.h:22, FRAMES_IN_FLIGHT=3): device dispatch
+    # of frame N+1 overlaps the host readback/accumulation of frame N.  JAX
+    # dispatch is async, so "in flight" just means deferring
+    # block_until_ready by up to (depth-1) frames; the XLA runtime queues
+    # the device work.  depth=1 reproduces the strictly-blocking loop.
+    import collections
+
+    flight = max(1, cfg.frames_in_flight)
+    pending: collections.deque = collections.deque()
+
+    def finish_one():
+        radiance_d, spp_f, extra_f, clear_first = pending.popleft()
+        if clear_first:
+            # Scene motion invalidates the accumulator (main.cpp:411-419);
+            # deferred to drain time so in-flight frames land in order.
+            acc.clear()
+        radiance_h = np.asarray(jax.block_until_ready(radiance_d))
+        acc.add_frame(radiance_h, spp_f)
+        m = log.tick(spp_f, acc.total_samples, acc.energy(), **extra_f)
+        print(m.format_line())
+        if extra_f:
+            print(f"  waves={extra_f['waves']:.0f} "
+                  f"occupancy={extra_f['occupancy']:.3f} "
+                  f"deferred={extra_f['deferred']:.0f}")
+
     carry = None
+    dispatch_samples = acc.total_samples
     for frame in range(cfg.frames):
+        clear_first = False
         if cfg.animate and frame > 0:
             host.update(cfg.dt, rebuild=cfg.rebuild_bvh)
-            # Scene motion invalidates the accumulator (main.cpp:411-419).
-            acc.clear()
+            clear_first = True
+            dispatch_samples = 0
 
         extra = {}
         if mesh is not None:
@@ -111,14 +138,14 @@ def run(cfg: AppConfig) -> dict:
 
             radiance = render_frame_sharded(
                 host.render_scene, rcfg, cam_params,
-                jnp.uint32(acc.total_samples), mesh,
+                jnp.uint32(dispatch_samples), mesh,
             )
         elif cfg.wave_stats:
             from ..wavefront.integrator import render_frame_instrumented
 
             radiance, stats = render_frame_instrumented(
                 host.render_scene, rcfg, cam_params,
-                jnp.uint32(acc.total_samples),
+                jnp.uint32(dispatch_samples),
             )
             extra = {k: float(np.asarray(v)) for k, v in stats.items()}
         elif cfg.defer:
@@ -134,7 +161,7 @@ def run(cfg: AppConfig) -> dict:
                 carry = empty_frame_carry(rcfg)
             if cfg.animate and frame > 0:
                 carry = empty_frame_carry(rcfg)  # scene moved: discard
-            seed0 = initial_seeds(rcfg, jnp.uint32(acc.total_samples))
+            seed0 = initial_seeds(rcfg, jnp.uint32(dispatch_samples))
             radiance, _, carry = render_frame_carry_jit(
                 host.render_scene, rcfg, cam_params, seed0, carry,
             )
@@ -144,7 +171,7 @@ def run(cfg: AppConfig) -> dict:
             from ..wavefront.integrator import initial_seeds, render_frame_seeded
 
             rcfg1 = rcfg._replace(spp=1)
-            seed = initial_seeds(rcfg1, jnp.uint32(acc.total_samples))
+            seed = initial_seeds(rcfg1, jnp.uint32(dispatch_samples))
             radiance = None
             for _ in range(cfg.spp):
                 part, seed = render_frame_seeded(
@@ -154,15 +181,14 @@ def run(cfg: AppConfig) -> dict:
         else:
             radiance = render_frame_jit(
                 host.render_scene, rcfg, cam_params,
-                jnp.uint32(acc.total_samples),
+                jnp.uint32(dispatch_samples),
             )
-        radiance = np.asarray(jax.block_until_ready(radiance))
-        acc.add_frame(radiance, cfg.spp)
-        m = log.tick(cfg.spp, acc.total_samples, acc.energy(), **extra)
-        print(m.format_line())
-        if extra:
-            print(f"  waves={extra['waves']:.0f} occupancy={extra['occupancy']:.3f} "
-                  f"deferred={extra['deferred']:.0f}")
+        pending.append((radiance, cfg.spp, extra, clear_first))
+        dispatch_samples += cfg.spp
+        while len(pending) >= flight:
+            finish_one()
+    while pending:
+        finish_one()
 
     if cfg.checkpoint and not cfg.resume:
         acc.save(cfg.checkpoint)
@@ -201,6 +227,8 @@ def main(argv=None) -> int:
     p.add_argument("--defer", action="store_true", dest="defer_paths")
     p.add_argument("--wave-limit", type=int, default=None)
     p.add_argument("--algo", default=None)
+    p.add_argument("--frames-in-flight", type=int, default=1,
+                   help="dispatch-ahead depth (reference FRAMES_IN_FLIGHT=3)")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--resume", action="store_true")
     args = p.parse_args(argv)
@@ -218,6 +246,7 @@ def main(argv=None) -> int:
             resume=args.resume, wave_stats=args.wave_stats,
             compact=args.compact, defer=args.defer_paths,
             wave_limit=args.wave_limit, algo=args.algo,
+            frames_in_flight=args.frames_in_flight,
         )
     run(cfg)
     return 0

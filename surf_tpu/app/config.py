@@ -36,6 +36,7 @@ class AppConfig:
     defer: bool = False            # cross-frame deferral of capped paths
     wave_limit: int | None = None  # override the per-sample wave cap
     algo: str | None = None        # wide-kernel walk algorithm override
+    frames_in_flight: int = 1      # dispatch-ahead depth (renderer.h:22 = 3)
 
     @classmethod
     def from_file(cls, path: str) -> "AppConfig":

@@ -103,6 +103,28 @@ def test_cli_end_to_end(tmp_path):
     assert rc == 0
 
 
+def test_cli_frames_in_flight_matches_blocking(tmp_path):
+    """P6 frames-in-flight (renderer.h:22): dispatch-ahead of N frames must
+    accumulate the exact same image as the strictly-blocking loop, including
+    under animation where the accumulator clear is deferred to drain time."""
+    from surf_tpu.app.cli import main
+
+    outs = {}
+    for flight in (1, 3):
+        for tag, extra in (("static", []),
+                           ("anim", ["--animate"])):
+            out = str(tmp_path / f"o{flight}{tag}.npy")
+            rc = main([
+                "--scene", "box", "--width", "16", "--height", "16",
+                "--spp", "1", "--frames", "3", "--output", out,
+                "--frames-in-flight", str(flight),
+            ] + extra)
+            assert rc == 0
+            outs[(flight, tag)] = np.load(out)
+    assert np.array_equal(outs[(1, "static")], outs[(3, "static")])
+    assert np.array_equal(outs[(1, "anim")], outs[(3, "anim")])
+
+
 def test_config_file_round_trip(tmp_path):
     cfg = AppConfig(scene="box", width=32, height=32, spp=4)
     p = tmp_path / "c.json"
