@@ -65,20 +65,25 @@ def main():
 
     times = {c: [] for c in combos}
     energy = {}
+    imgs = {}
     for rnd in range(3):
         for c in combos:
             t0 = time.perf_counter()
             img = jax.block_until_ready(frames[c](spp * (rnd + 1)))
             dt = time.perf_counter() - t0
             times[c].append(dt)
+            if rnd == 0:
+                imgs[c] = np.asarray(img) / spp
             energy[c] = float(np.asarray(img).sum()) / spp
             print(f"round {rnd} {c}: {dt*1e3:9.1f} ms", flush=True)
     print()
+    ref = imgs[combos[0]]
     for c in combos:
         best = min(times[c])
+        l1 = np.abs(imgs[c] - ref).sum() / max(ref.sum(), 1e-9)
         print(f"{c}: best {best*1e3:9.1f} ms = "
-              f"{W*H*spp/best/1e6:.3f} M rays/s  energy={energy[c]:.1f}",
-              flush=True)
+              f"{W*H*spp/best/1e6:.3f} M rays/s  energy={energy[c]:.1f}  "
+              f"relL1_vs_{combos[0]}={l1:.4f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -44,6 +44,7 @@ from .wide import IS_LEAF_LANE, LEAF_TRIS, REC, SKIP_LANE, WIDTH, WideStream
 
 BLOCK = 1024
 SUB = 8
+SUBBLK = 8      # sublanes per per-sub-block candidate list (one (8,128) vreg)
 LANE = 128
 K_VISITS = 32   # visits per while-loop condition check
 
@@ -988,9 +989,12 @@ def _kernel_multiblock(
 # (t >= eps can never beat it), not a mask.
 
 
-def _packet_bits(box_lo, box_hi, o3, inv3, tm):
+def _packet_bits(box_lo, box_hi, o3, inv3, tm, halves: int = 1):
     """Slab-test all E own-boxes against one packet: box_lo/hi [3, E],
-    o3/inv3 [3, R], tm [R] -> bits [E] bool.  NaN boxes (inert/pad rows)
+    o3/inv3 [3, R], tm [R] -> bits [E] bool (halves=1) or [E, halves]
+    (one bit per (8,128) sub-block of the packet — per-sub-block candidate
+    lists cut phase-2 pair work ~1.75x because unions grow sub-linearly in
+    ray count, out_configs/union_visits.json).  NaN boxes (inert/pad rows)
     propagate NaN and never hit."""
     tmin = None
     tmax_ = None
@@ -1002,31 +1006,43 @@ def _packet_bits(box_lo, box_hi, o3, inv3, tm):
         tmin = lo_c if tmin is None else jnp.maximum(tmin, lo_c)
         tmax_ = hi_c if tmax_ is None else jnp.minimum(tmax_, hi_c)
     hit = (tmax_ >= tmin) & (tmin < tm[None, :]) & (tmax_ > 0.0)
-    return jnp.any(hit, axis=1)
+    if halves == 1:
+        return jnp.any(hit, axis=1)
+    e_dim = hit.shape[0]
+    return jnp.any(hit.reshape(e_dim, halves, -1), axis=2)
 
 
-def _mt8(row, row_i, ox, oy, oz, dx, dy, dz, c):
+def _mt8(row, row_i, ox, oy, oz, dx, dy, dz, c, dtype=jnp.float32):
     """8 Möller–Trumbore tests of one leaf-table row against a ray block;
     the hit's prim id comes from the slot-id lane baked into the row
-    (build_leaf_table), so results need no rec->prim mapping."""
+    (build_leaf_table), so results need no rec->prim mapping.
+
+    dtype=bfloat16 runs the vector math at 2.06x VPU rate (measured,
+    scripts/tpu_bf16_micro.py); winners within ~2^-8 relative t of each
+    other may flip vs f32, which only moves isolated silhouette pixels —
+    the integrator re-intersects the winning triangle in f32 for the
+    differentiable t/u/v either way (integrator.py _reintersect)."""
     best_t, best_r, best_u, best_v = c
+    one = dtype(1.0)
+    eps = dtype(_EPS)
+    zero = dtype(0.0)
     for j in range(WIDTH):
         b = REC * j
-        v0x = row[0, b + 0]
-        v0y = row[0, b + 1]
-        v0z = row[0, b + 2]
-        e1x = row[0, b + 3]
-        e1y = row[0, b + 4]
-        e1z = row[0, b + 5]
-        e2x = row[0, b + 6]
-        e2y = row[0, b + 7]
-        e2z = row[0, b + 8]
+        v0x = row[0, b + 0].astype(dtype)
+        v0y = row[0, b + 1].astype(dtype)
+        v0z = row[0, b + 2].astype(dtype)
+        e1x = row[0, b + 3].astype(dtype)
+        e1y = row[0, b + 4].astype(dtype)
+        e1z = row[0, b + 5].astype(dtype)
+        e2x = row[0, b + 6].astype(dtype)
+        e2y = row[0, b + 7].astype(dtype)
+        e2z = row[0, b + 8].astype(dtype)
         sid = row_i[0, b + 9]
         hx = dy * e2z - dz * e2y
         hy = dz * e2x - dx * e2z
         hz = dx * e2y - dy * e2x
         a = e1x * hx + e1y * hy + e1z * hz
-        f = jnp.float32(1.0) / a
+        f = one / a
         sx = ox - v0x
         sy = oy - v0y
         sz = oz - v0z
@@ -1037,10 +1053,10 @@ def _mt8(row, row_i, ox, oy, oz, dx, dy, dz, c):
         v = f * (dx * qx + dy * qy + dz * qz)
         t = f * (e2x * qx + e2y * qy + e2z * qz)
         hit = (
-            (jnp.abs(a) >= _EPS)
-            & (u >= 0.0) & (u <= 1.0)
-            & (v >= 0.0) & (u + v <= 1.0)
-            & (t >= _EPS) & (t < best_t)
+            (jnp.abs(a) >= eps)
+            & (u >= zero) & (u <= one)
+            & (v >= zero) & (u + v <= one)
+            & (t >= eps) & (t < best_t)
         )
         best_t = jnp.where(hit, t, best_t)
         best_r = jnp.where(hit, sid, best_r)
@@ -1050,49 +1066,67 @@ def _mt8(row, row_i, ox, oy, oz, dx, dy, dz, c):
 
 
 def _leaf_rows_kernel(counts_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
-                      dz_ref, tm_ref, rows_ref, t_out, r_out, u_out, v_out,
-                      *, cap8: int, sweep: bool):
+                      dz_ref, tm_ref, rows_ref, *refs,
+                      cap8: int, sweep: bool, halves: int,
+                      carry_in: bool = False, use_bf16: bool = False):
     """Phase-2 leaf intersection over AFFINE row addresses.
 
-    sweep=False: rows_ref is the per-packet gather-compacted row buffer
-    (block (1, cap, 128)); sweep=True: rows_ref is the full leaf table
-    (constant block) and the packet walks ALL rows — the overflow
-    fallback.  Affine addressing is the whole point: a row fetch whose
-    sublane index is data-dependent (extracted from a list) costs
-    ~150-250 ns of scalar-pipeline serialization per row on v5e, while
-    loop-affine fetches run at vector throughput (~31 ns/row measured,
-    scripts/tpu_leaf_variants_micro.py)."""
+    sweep=False: rows_ref is the per-sub-block gather-compacted row buffer
+    (block (halves, cap, 128)); sweep=True: rows_ref is the full leaf table
+    (constant block) and the sub-block walks ALL rows — the overflow
+    fallback.  Each (8,128) sub-block of the ray packet has its OWN
+    candidate list (unions grow sub-linearly in ray count, so per-sub-block
+    lists cut pair work ~1.75x at 2048-ray packets while phase 1 and the
+    grid stay packet-wide).  Affine addressing is the whole point: a row
+    fetch whose sublane index is data-dependent (extracted from a list)
+    costs ~150-250 ns of scalar-pipeline serialization per row on v5e,
+    while loop-affine fetches run at vector throughput
+    (scripts/tpu_leaf_variants_micro.py)."""
+    if carry_in:
+        t_in, r_in, u_in, v_in = refs[:4]
+        t_out, r_out, u_out, v_out = refs[4:]
+    else:
+        t_out, r_out, u_out, v_out = refs
     p = pl.program_id(0)
-    trip = jnp.minimum(counts_ref[p], jnp.int32(cap8))
-    ox = ox_ref[0]
-    oy = oy_ref[0]
-    oz = oz_ref[0]
-    dx = dx_ref[0]
-    dy = dy_ref[0]
-    dz = dz_ref[0]
+    dt = jnp.bfloat16 if use_bf16 else jnp.float32
+    step = ox_ref.shape[1] // halves   # sublanes per candidate list
+    for h in range(halves):
+        sl = slice(h * step, (h + 1) * step)
+        trip = jnp.minimum(counts_ref[p * halves + h], jnp.int32(cap8))
+        ox = ox_ref[0, sl].astype(dt)
+        oy = oy_ref[0, sl].astype(dt)
+        oz = oz_ref[0, sl].astype(dt)
+        dx = dx_ref[0, sl].astype(dt)
+        dy = dy_ref[0, sl].astype(dt)
+        dz = dz_ref[0, sl].astype(dt)
 
-    def group(gi, c):
-        for e in range(LEAF_TRIS):
-            if sweep:
-                row = rows_ref[pl.ds(gi * LEAF_TRIS + e, 1), :]
-            else:
-                row = rows_ref[0, pl.ds(gi * LEAF_TRIS + e, 1), :]
-            row_i = pltpu.bitcast(row, jnp.int32)
-            c = _mt8(row, row_i, ox, oy, oz, dx, dy, dz, c)
-        return c
+        def group(gi, c, h=h, ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz):
+            for e in range(LEAF_TRIS):
+                if sweep:
+                    row = rows_ref[pl.ds(gi * LEAF_TRIS + e, 1), :]
+                else:
+                    row = rows_ref[h, pl.ds(gi * LEAF_TRIS + e, 1), :]
+                row_i = pltpu.bitcast(row, jnp.int32)
+                c = _mt8(row, row_i, ox, oy, oz, dx, dy, dz, c, dt)
+            return c
 
-    tm0 = tm_ref[0]
-    init = (
-        tm0,
-        jnp.full(tm0.shape, -1, jnp.int32),
-        jnp.zeros(tm0.shape, jnp.float32),
-        jnp.zeros(tm0.shape, jnp.float32),
-    )
-    bt, br, bu, bv = jax.lax.fori_loop(0, trip, group, init)
-    t_out[0] = bt
-    r_out[0] = br
-    u_out[0] = bu
-    v_out[0] = bv
+        if carry_in:
+            # refinement round: resume from the prefix round's running best
+            init = (t_in[0, sl].astype(dt), r_in[0, sl],
+                    u_in[0, sl].astype(dt), v_in[0, sl].astype(dt))
+        else:
+            tm0 = tm_ref[0, sl].astype(dt)
+            init = (
+                tm0,
+                jnp.full(tm0.shape, -1, jnp.int32),
+                jnp.zeros(tm0.shape, dt),
+                jnp.zeros(tm0.shape, dt),
+            )
+        bt, br, bu, bv = jax.lax.fori_loop(0, trip, group, init)
+        t_out[0, sl] = bt.astype(jnp.float32)
+        r_out[0, sl] = br
+        u_out[0, sl] = bu.astype(jnp.float32)
+        v_out[0, sl] = bv.astype(jnp.float32)
 
 
 # Gather-compaction capacity (leaf rows per packet).  Packets whose
@@ -1102,13 +1136,20 @@ def _leaf_rows_kernel(counts_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
 # 2048 ray packets on the indoor scene with headroom.
 BITS_CAP_ROWS = 1536
 
+# algo="bits2": leaf-order prefix length (rows) round A processes before
+# the t-refresh re-sweep culls the tail candidates.
+BITS_REFINE_ROWS = 192
+
 
 @functools.partial(jax.jit, static_argnames=(
-    "any_hit", "interpret", "cap_rows", "inert_row"))
+    "any_hit", "interpret", "cap_rows", "inert_row", "sub_lists",
+    "refine_rows", "use_bf16"))
 def _traverse_bits_padded(ltab, box_lo, box_hi, anc,
                           ox, oy, oz, dx, dy, dz, tm, ac,
                           any_hit: bool, interpret: bool,
-                          cap_rows: int, inert_row: int):
+                          cap_rows: int, inert_row: int,
+                          sub_lists: bool = False, refine_rows: int = 0,
+                          use_bf16: bool = False):
     g, sub, _ = ox.shape
     R = sub * LANE
     E = ltab.shape[0]
@@ -1116,6 +1157,13 @@ def _traverse_bits_padded(ltab, box_lo, box_hi, anc,
     cap_rows = min(cap_rows, E)
     cap8 = -(-cap_rows // LEAF_TRIS)
     cap = cap8 * LEAF_TRIS
+    # sub_lists=True builds one candidate list per (8,128) sub-block.
+    # Measured LOSS on v5e frames (256^2@4spp: 1431 ms vs 1191 packet-wide):
+    # dense-table unions shrink too little at 1024 rays to pay for the
+    # extra rows' per-row fixed cost + doubled gather/DMA.  Kept as an
+    # option for scenes with smaller leaf footprints.
+    H = max(1, sub // SUBBLK) if sub_lists else 1
+    gH = g * H
 
     # Inactive rays: t_max = -FAR makes every box test (tmin < tm) and
     # every triangle test (t < best_t) fail — no masks anywhere.
@@ -1127,18 +1175,23 @@ def _traverse_bits_padded(ltab, box_lo, box_hi, anc,
     # phase 1: per-packet row bits (sequential over packets: each body is
     # a dense [E, R] slab sweep XLA tiles well; lax.map compiles it once).
     # lax.map lowers to scan, so the cond is a REAL branch — packets with
-    # no live ray (compacted tail waves) skip the whole sweep.
+    # no live ray (compacted tail waves) skip the whole sweep.  The
+    # any-reduce stops at (8,128) sub-block granularity: each sub-block
+    # gets its OWN candidate list (same phase-1 cost, ~1.75x less phase-2
+    # pair work — unions grow sub-linearly in ray count).
     EB = box_lo.shape[1]
 
     def body(args):
         o_p, i_p, t_p = args
         return jax.lax.cond(
             jnp.any(t_p > -_FAR),
-            lambda: _packet_bits(box_lo, box_hi, o_p, i_p, t_p),
-            lambda: jnp.zeros((EB,), bool))
+            lambda: _packet_bits(box_lo, box_hi, o_p, i_p, t_p, H),
+            lambda: jnp.zeros((EB, H) if H > 1 else (EB,), bool))
 
     bits = jax.lax.map(
         body, (jnp.moveaxis(o3, 1, 0), jnp.moveaxis(inv3, 1, 0), tmf))
+    if H > 1:
+        bits = jnp.moveaxis(bits, 2, 1).reshape(gH, EB)  # list id = p*H + h
 
     # phase 1.5a: visited leaf rows, hierarchically — level k is visited
     # only where level k+1's parent is (box_lo levels are stored leaf
@@ -1148,42 +1201,45 @@ def _traverse_bits_padded(ltab, box_lo, box_hi, anc,
     while sizes[-1] > 1:
         sizes.append(-(-sizes[-1] // 8))
     offs = np.concatenate([[0], np.cumsum(sizes)]).tolist()
-    v = bits[:, offs[len(sizes) - 1]][:, None]  # root level [g, 1]
-    for k in range(len(sizes) - 2, -1, -1):
-        idx = offs[k] + jnp.arange(sizes[k], dtype=jnp.int32)
-        v = bits[:, idx] & v[:, jnp.arange(sizes[k]) // 8]
-    vis = v  # [g, L]
 
-    # phase 1.5b: compact surviving row indices (first cap per packet),
+    def leaf_vis(b):
+        v = b[:, offs[len(sizes) - 1]][:, None]  # root level [gH, 1]
+        for k in range(len(sizes) - 2, -1, -1):
+            idx = offs[k] + jnp.arange(sizes[k], dtype=jnp.int32)
+            v = b[:, idx] & v[:, jnp.arange(sizes[k]) // 8]
+        return v  # [gH, L]
+
+    vis = leaf_vis(bits)
+
+    # phase 1.5b: compact surviving row indices (first cap per sub-block),
     # then gather the ROWS themselves so phase 2 reads affine addresses.
-    counts = vis.sum(axis=1, dtype=jnp.int32)            # [g]
-    key = jnp.cumsum(vis, axis=1, dtype=jnp.int32) - 1   # [g, L]
-    pid = jnp.arange(g, dtype=jnp.int32)[:, None]
-    dest = jnp.where(vis & (key < cap), pid * cap + key, g * cap)
-    flat = jnp.full((g * cap,), inert_row, jnp.int32)
-    flat = flat.at[dest.reshape(-1)].set(
-        jnp.broadcast_to(
-            jnp.arange(L, dtype=jnp.int32)[None, :], (g, L)).reshape(-1),
-        mode="drop")
-    rows3d = jnp.take(ltab, flat, axis=0).reshape(g, cap, LANE)
+    pid = jnp.arange(gH, dtype=jnp.int32)[:, None]
+    row_ids = jnp.broadcast_to(
+        jnp.arange(L, dtype=jnp.int32)[None, :], (gH, L))
+
+    def compact_rows(vz):
+        cz = vz.sum(axis=1, dtype=jnp.int32)              # [gH]
+        kz = jnp.cumsum(vz, axis=1, dtype=jnp.int32) - 1  # [gH, L]
+        dz_ = jnp.where(vz & (kz < cap), pid * cap + kz, gH * cap)
+        fz = jnp.full((gH * cap,), inert_row, jnp.int32)
+        fz = fz.at[dz_.reshape(-1)].set(row_ids.reshape(-1), mode="drop")
+        return cz, kz, jnp.take(ltab, fz, axis=0).reshape(gH, cap, LANE)
+
+    counts, key, rows3d = compact_rows(vis)
 
     overflow = counts > cap
     list_counts = jnp.where(
         overflow, 0, (counts + LEAF_TRIS - 1) // LEAF_TRIS)
     sweep_counts = jnp.where(overflow, E // LEAF_TRIS, 0).astype(jnp.int32)
 
-    def call(kernel_sweep, cnts, rows, rows_spec):
+    def call(kernel_sweep, cnts, rows, rows_spec, carry=None):
+        ray_spec = pl.BlockSpec((1, sub, LANE), lambda p, s: (p, 0, 0))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(g,),
-            in_specs=[
-                pl.BlockSpec((1, sub, LANE), lambda p, s: (p, 0, 0))
-                for _ in range(7)
-            ] + [rows_spec],
-            out_specs=[
-                pl.BlockSpec((1, sub, LANE), lambda p, s: (p, 0, 0))
-                for _ in range(4)
-            ],
+            in_specs=[ray_spec] * 7 + [rows_spec]
+            + ([ray_spec] * 4 if carry is not None else []),
+            out_specs=[ray_spec] * 4,
         )
         out_shape = [
             jax.ShapeDtypeStruct((g, sub, LANE), jnp.float32),
@@ -1194,29 +1250,79 @@ def _traverse_bits_padded(ltab, box_lo, box_hi, anc,
         kernel = functools.partial(
             _leaf_rows_kernel,
             cap8=(E // LEAF_TRIS if kernel_sweep else cap8),
-            sweep=kernel_sweep)
+            sweep=kernel_sweep, halves=H, carry_in=carry is not None,
+            use_bf16=use_bf16)
         return pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape,
             interpret=interpret,
-        )(cnts, ox, oy, oz, dx, dy, dz, tmf.reshape(g, sub, LANE), rows)
+        )(cnts, ox, oy, oz, dx, dy, dz, tmf.reshape(g, sub, LANE), rows,
+          *(carry if carry is not None else ()))
 
     # Dead packets (compacted tail waves: every lane inactive -> counts==0,
     # and overflow packets routed to the sweep kernel) are mapped to block 0
     # in the index map: consecutive equal block indices skip the ~cap*LANE*4B
-    # (~786 KB at cap=1536) HBM->VMEM DMA per packet, so tail waves stop
+    # (~786 KB/list at cap=1536) HBM->VMEM DMA per packet, so tail waves stop
     # paying full-width row traffic (VERDICT r1 item 2).  trip==0 means the
     # kernel never reads rows_ref, so the aliased block is harmless.
-    t_l, r_l, u_l, v_l = call(
-        False, list_counts, rows3d,
-        pl.BlockSpec((1, cap, LANE),
-                     lambda p, s: (jnp.where(s[p] > 0, p, 0), 0, 0)))
-    t_s, r_s, u_s, v_s = call(
-        True, sweep_counts, ltab,
-        pl.BlockSpec((E, LANE), lambda p, s: (0, 0)))
+    def live_map(p, s):
+        live = s[p * H] > 0
+        for h in range(1, H):
+            live = live | (s[p * H + h] > 0)
+        return (jnp.where(live, p, 0), 0, 0)
 
-    ovf = overflow[:, None, None]
-    return (jnp.where(ovf, t_s, t_l), jnp.where(ovf, r_s, r_l),
-            jnp.where(ovf, u_s, u_l), jnp.where(ovf, v_s, v_l))
+    list_spec = pl.BlockSpec((H, cap, LANE), live_map)
+    sweep_spec = pl.BlockSpec((E, LANE), lambda p, s: (0, 0))
+
+    def sel(a, b):  # per-list overflow select: a sweep, b list
+        ovf = overflow.reshape(g, H, 1, 1)
+        a4 = a.reshape(g, H, sub // H, LANE)
+        b4 = b.reshape(g, H, sub // H, LANE)
+        return jnp.where(ovf, a4, b4).reshape(g, sub, LANE)
+
+    if refine_rows <= 0:
+        t_l, r_l, u_l, v_l = call(False, list_counts, rows3d, list_spec)
+        t_s, r_s, u_s, v_s = call(True, sweep_counts, ltab, sweep_spec)
+        return (sel(t_s, t_l), sel(r_s, r_l),
+                sel(u_s, u_l), sel(v_s, v_l))
+
+    # ---- t-refresh refinement (algo="bits2") --------------------------
+    # Round A processes only the first k1 rows of each list; the running
+    # best_t it produces then re-runs phase 1 (cheap: ~20 ns/ray) with the
+    # TIGHTENED bound, and round B processes only tail candidates that
+    # survive.  EXACT for closest-hit: a culled row's box entry t exceeds
+    # best_t along every ray, so no triangle in it can win; processing
+    # order (leaf-order prefix, then surviving leaf-order tail) matches
+    # the single-round kernel's, so results are bit-identical.  For
+    # any-hit, rays that already found a hit are killed outright
+    # (t_max = -FAR) — any hit is as good as any other.
+    k1_8 = min(-(-refine_rows // LEAF_TRIS), cap8)
+    cnts_a = jnp.minimum(list_counts, k1_8)
+    A = call(False, cnts_a, rows3d, list_spec)
+    t_s, r_s, u_s, v_s = call(True, sweep_counts, ltab, sweep_spec)
+
+    if any_hit:
+        tm2 = jnp.where(A[1].reshape(g, R) >= 0, -_FAR, tmf)
+    else:
+        tm2 = A[0].reshape(g, R)
+
+    def body2(args):
+        o_p, i_p, t_p = args
+        return jax.lax.cond(
+            jnp.any(t_p > -_FAR),
+            lambda: _packet_bits(box_lo, box_hi, o_p, i_p, t_p, H),
+            lambda: jnp.zeros((EB, H) if H > 1 else (EB,), bool))
+
+    bits2 = jax.lax.map(
+        body2, (jnp.moveaxis(o3, 1, 0), jnp.moveaxis(inv3, 1, 0), tm2))
+    if H > 1:
+        bits2 = jnp.moveaxis(bits2, 2, 1).reshape(gH, EB)
+    # bits2 is a subset of bits (tighter t bound), so leaf_vis(bits2) is a
+    # subset of vis; tail = surviving candidates not in round A's prefix.
+    vis2 = leaf_vis(bits2) & (key >= k1_8 * LEAF_TRIS)
+    counts2, _, rows3d_b = compact_rows(vis2)
+    cnts_b = jnp.where(overflow, 0, (counts2 + LEAF_TRIS - 1) // LEAF_TRIS)
+    t_l, r_l, u_l, v_l = call(False, cnts_b, rows3d_b, list_spec, carry=A)
+    return sel(t_s, t_l), sel(r_s, r_l), sel(u_s, u_l), sel(v_s, v_l)
 
 
 MULTIBLOCK_CHUNK = 64 * BLOCK
@@ -1272,6 +1378,7 @@ def traverse_wide(
     algo: str = "skip",
     block_rays: int = BLOCK,
     cap_rows: int = 0,
+    refine_rows: int = 0,
 ) -> Hit:
     """Drop-in replacement for accel.traverse.traverse / traverse_pallas;
     hit.prim is the leaf-order triangle slot (map through scene.perm for
@@ -1303,7 +1410,13 @@ def traverse_wide(
         ) if pad else x
         return x.reshape(g, sub, LANE)
 
-    if algo == "bits":
+    if algo.startswith("bits"):
+        # "bits" three-phase list-driven; variants: trailing "h" = bf16
+        # leaf math (2.06x VPU, approximate winners near ties), "bits2" =
+        # t-refresh refinement round, "bits8" = per-(8,128) lists.
+        use_bf16 = algo.endswith("h")
+        base = algo[:-1] if use_bf16 else algo
+        assert base in ("bits", "bits2", "bits8"), f"unknown algo {algo}"
         assert wt.ltab is not None, \
             "WideTrace lacks a LeafTable (rebuild via device_wide_trace)"
         t_o, r_o, u_o, v_o = _traverse_bits_padded(
@@ -1313,7 +1426,10 @@ def traverse_wide(
             prep(direction[:, 2], 1),
             prep(t_max.astype(jnp.float32)), prep(active.astype(jnp.int32)),
             any_hit, interpret, cap_rows or BITS_CAP_ROWS,
-            int(wt.inert_row),
+            int(wt.inert_row), sub_lists=base == "bits8",
+            refine_rows=(refine_rows or BITS_REFINE_ROWS)
+            if base == "bits2" else 0,
+            use_bf16=use_bf16,
         )
 
         def unprep(x):

@@ -159,6 +159,70 @@ def test_bits_matches_oracle_indoor(indoor):
     assert np.array_equal((rec2 >= 0)[act], (np.asarray(hb2.prim) >= 0)[act])
 
 
+def test_bits_subblock_lists(indoor):
+    """algo="bits8" at block_rays=2048 builds one candidate list per
+    (8,128) sub-block (H=2); plain "bits" at 2048 shares one packet-wide
+    list across 16 sublanes.  Both must be identical to the 1024-block
+    path, including when only SOME sub-blocks overflow into the
+    per-sub-block sweep fallback and when a whole sub-block is dead
+    (exercises the prefetch-dependent dead-skip index map)."""
+    ws = indoor._ws
+    n = 4096
+    rng = np.random.default_rng(21)
+    o = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    # sub-block 0: a tight beam (tiny union -> fits small caps);
+    # sub-block 1: fully dead; the rest: incoherent (overflows small caps)
+    o[:1024] = o[0] + rng.normal(scale=1e-3, size=(1024, 3))
+    d[:1024] = d[0]
+    d[:1024] /= np.linalg.norm(d[:1024], axis=1, keepdims=True)
+    act = np.ones(n, bool)
+    act[1024:2048] = False
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    tmax = jnp.full(n, 1e30, jnp.float32)
+
+    h1 = traverse_wide(_wt(indoor), o, d, tmax, jnp.asarray(act),
+                       False, interpret=True, algo="bits", block_rays=1024)
+    both = np.asarray(h1.prim) >= 0
+    for algo, cap in (("bits", 0), ("bits8", 0), ("bits8", 256),
+                      ("bits2", 0)):
+        h2 = traverse_wide(_wt(indoor), o, d, tmax, jnp.asarray(act),
+                           False, interpret=True, algo=algo,
+                           block_rays=2048, cap_rows=cap)
+        assert np.array_equal(np.asarray(h1.prim), np.asarray(h2.prim)), algo
+        assert np.allclose(np.asarray(h1.t)[both], np.asarray(h2.t)[both])
+
+
+def test_bits2_trefresh_exact(indoor):
+    """algo="bits2" (prefix round + t-refresh cull + tail round) must be
+    bit-identical to "bits" for closest hits — a culled row's box entry t
+    exceeds the running best everywhere, so it cannot contain a winner —
+    and equivalent for any-hit occlusion (found rays are killed early).
+    refine_rows=16 forces nearly everything through the refresh path."""
+    n = 2048
+    o, d = _rays(n, seed=31, span=3.0)
+    tmax = jnp.full(n, 1e30, jnp.float32)
+    act = np.ones(n, bool)
+    act[::7] = False
+    hb = traverse_wide(_wt(indoor), o, d, tmax, jnp.asarray(act),
+                       False, interpret=True, algo="bits")
+    for refine in (16, 192):
+        h2 = traverse_wide(_wt(indoor), o, d, tmax, jnp.asarray(act),
+                           False, interpret=True, algo="bits2",
+                           refine_rows=refine)
+        assert np.array_equal(np.asarray(hb.prim), np.asarray(h2.prim))
+        both = np.asarray(hb.prim) >= 0
+        assert np.array_equal(np.asarray(hb.t)[both], np.asarray(h2.t)[both])
+    # any-hit occlusion parity at finite range
+    tshort = jnp.full(n, 6.0, jnp.float32)
+    ha = traverse_wide(_wt(indoor), o, d, tshort, jnp.asarray(act),
+                       True, interpret=True, algo="bits")
+    ha2 = traverse_wide(_wt(indoor), o, d, tshort, jnp.asarray(act),
+                        True, interpret=True, algo="bits2", refine_rows=16)
+    assert np.array_equal(np.asarray(ha.prim) >= 0, np.asarray(ha2.prim) >= 0)
+
+
 def test_bits_overflow_sweep_fallback(indoor):
     """Packets whose visited set exceeds the gather capacity must fall
     back to the full-sweep kernel with identical results (forced here
