@@ -130,8 +130,19 @@ def main():
         print(f"  {algo} slope: {slope/1e6:.2f} M rays/s", flush=True)
         results[algo] = slope
 
-    # visited-row counts for context (device-computed)
-    f = stage_fn("p15")
+    # dead-wave cost: a full-width call with EVERY lane inactive — what a
+    # compacted tail wave pays per traversal (should be ~free; anything
+    # else is ungated phase-1.5 work).
+    f = jax.jit(lambda o_, d_, t_, a_: pw.traverse_wide(
+        wt, o_, d_, t_, a_, any_hit=False, algo="bits"))
+    ms = {}
+    for sz in SIZES:
+        args = (jnp.asarray(o[:sz]), jnp.asarray(d[:sz]),
+                jnp.asarray(tm[:sz]), jnp.zeros(sz, bool))
+        ms[sz] = run(f, args, sz, "bits-dead")
+    slope = (max(SIZES) - min(SIZES)) / (
+        (ms[max(SIZES)] - ms[min(SIZES)]) / 1e3)
+    print(f"  bits-dead slope: {slope/1e6:.2f} M rays/s", flush=True)
     print("done", results, flush=True)
 
 

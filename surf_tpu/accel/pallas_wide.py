@@ -1024,8 +1024,6 @@ def _mt8(row, row_i, ox, oy, oz, dx, dy, dz, c, dtype=jnp.float32):
     differentiable t/u/v either way (integrator.py _reintersect)."""
     best_t, best_r, best_u, best_v = c
     one = dtype(1.0)
-    eps = dtype(_EPS)
-    zero = dtype(0.0)
     for j in range(WIDTH):
         b = REC * j
         v0x = row[0, b + 0].astype(dtype)
@@ -1052,11 +1050,20 @@ def _mt8(row, row_i, ox, oy, oz, dx, dy, dz, c, dtype=jnp.float32):
         qz = sx * e1y - sy * e1x
         v = f * (dx * qx + dy * qy + dz * qz)
         t = f * (e2x * qx + e2y * qy + e2z * qz)
+        if dtype is jnp.bfloat16:
+            # v5e's VPU has neither packed-bf16 compares ("Target does not
+            # support this comparison") nor packed-mask -> 32-bit-lane
+            # relayouts, so only the MUL/ADD polynomial runs in bf16 (2.06x
+            # rate); decisions, carries and selects stay f32.
+            a = a.astype(jnp.float32)
+            u = u.astype(jnp.float32)
+            v = v.astype(jnp.float32)
+            t = t.astype(jnp.float32)
         hit = (
-            (jnp.abs(a) >= eps)
-            & (u >= zero) & (u <= one)
-            & (v >= zero) & (u + v <= one)
-            & (t >= eps) & (t < best_t)
+            (jnp.abs(a) >= _EPS)
+            & (u >= 0.0) & (u <= 1.0)
+            & (v >= 0.0) & (u + v <= 1.0)
+            & (t >= _EPS) & (t < best_t)
         )
         best_t = jnp.where(hit, t, best_t)
         best_r = jnp.where(hit, sid, best_r)
@@ -1110,23 +1117,24 @@ def _leaf_rows_kernel(counts_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
                 c = _mt8(row, row_i, ox, oy, oz, dx, dy, dz, c, dt)
             return c
 
+        # carries/decisions stay f32 (no packed-bf16 compares on v5e);
+        # dt only accelerates the MT polynomial inside _mt8.
         if carry_in:
             # refinement round: resume from the prefix round's running best
-            init = (t_in[0, sl].astype(dt), r_in[0, sl],
-                    u_in[0, sl].astype(dt), v_in[0, sl].astype(dt))
+            init = (t_in[0, sl], r_in[0, sl], u_in[0, sl], v_in[0, sl])
         else:
-            tm0 = tm_ref[0, sl].astype(dt)
+            tm0 = tm_ref[0, sl]
             init = (
                 tm0,
                 jnp.full(tm0.shape, -1, jnp.int32),
-                jnp.zeros(tm0.shape, dt),
-                jnp.zeros(tm0.shape, dt),
+                jnp.zeros(tm0.shape, jnp.float32),
+                jnp.zeros(tm0.shape, jnp.float32),
             )
         bt, br, bu, bv = jax.lax.fori_loop(0, trip, group, init)
-        t_out[0, sl] = bt.astype(jnp.float32)
+        t_out[0, sl] = bt
         r_out[0, sl] = br
-        u_out[0, sl] = bu.astype(jnp.float32)
-        v_out[0, sl] = bv.astype(jnp.float32)
+        u_out[0, sl] = bu
+        v_out[0, sl] = bv
 
 
 # Gather-compaction capacity (leaf rows per packet).  Packets whose
@@ -1211,25 +1219,44 @@ def _traverse_bits_padded(ltab, box_lo, box_hi, anc,
 
     vis = leaf_vis(bits)
 
-    # phase 1.5b: compact surviving row indices (first cap per sub-block),
-    # then gather the ROWS themselves so phase 2 reads affine addresses.
+    # phase 1.5b: compact surviving candidates at 8-row GROUP granularity
+    # (hierarchy level 1), then gather each listed group's 8 rows so phase
+    # 2 reads affine addresses.  Group lists process ~1.6-2.2x more rows
+    # than exact row lists (out_configs/bits_union_study.json) but cut the
+    # compaction scatter 8x — and the TPU scatter is ~44 ns/UPDATE
+    # (tpu_scatter_micro.py: 234 us/packet at row granularity, 28 us at
+    # group granularity), which dominated every call including fully-dead
+    # tail waves (bits-dead slope ~490 ns/ray).  Rows gathered via group
+    # rounding whose own box was NOT hit are inert-equivalent: no ray hits
+    # their box, so no contained triangle can pass MT.
+    L1 = sizes[1] if len(sizes) > 1 else 1
+    padL = L1 * 8 - L
     pid = jnp.arange(gH, dtype=jnp.int32)[:, None]
-    row_ids = jnp.broadcast_to(
-        jnp.arange(L, dtype=jnp.int32)[None, :], (gH, L))
+    grp_ids = jnp.broadcast_to(
+        jnp.arange(L1, dtype=jnp.int32)[None, :], (gH, L1))
+    inert_group = inert_row // 8  # full inert group (build_leaf_table pads)
+    cap8 = min(cap8, L1)
+    cap = cap8 * LEAF_TRIS
 
-    def compact_rows(vz):
-        cz = vz.sum(axis=1, dtype=jnp.int32)              # [gH]
-        kz = jnp.cumsum(vz, axis=1, dtype=jnp.int32) - 1  # [gH, L]
-        dz_ = jnp.where(vz & (kz < cap), pid * cap + kz, gH * cap)
-        fz = jnp.full((gH * cap,), inert_row, jnp.int32)
-        fz = fz.at[dz_.reshape(-1)].set(row_ids.reshape(-1), mode="drop")
-        return cz, kz, jnp.take(ltab, fz, axis=0).reshape(gH, cap, LANE)
+    def group_any(vz):  # leaf candidates [gH, L] -> group mask [gH, L1]
+        vzp = jnp.pad(vz, ((0, 0), (0, padL))) if padL else vz
+        return vzp.reshape(gH, L1, 8).any(axis=2)
 
-    counts, key, rows3d = compact_rows(vis)
+    def compact_groups(vg):
+        cz = vg.sum(axis=1, dtype=jnp.int32)              # groups = trips
+        kz = jnp.cumsum(vg, axis=1, dtype=jnp.int32) - 1  # [gH, L1]
+        dz_ = jnp.where(vg & (kz < cap8), pid * cap8 + kz, gH * cap8)
+        fz = jnp.full((gH * cap8,), inert_group, jnp.int32)
+        fz = fz.at[dz_.reshape(-1)].set(grp_ids.reshape(-1), mode="drop")
+        rows_idx = (fz[:, None] * 8
+                    + jnp.arange(8, dtype=jnp.int32)[None, :]).reshape(-1)
+        return cz, kz, jnp.take(ltab, rows_idx, axis=0).reshape(
+            gH, cap, LANE)
 
-    overflow = counts > cap
-    list_counts = jnp.where(
-        overflow, 0, (counts + LEAF_TRIS - 1) // LEAF_TRIS)
+    counts, key, rows3d = compact_groups(group_any(vis))
+
+    overflow = counts > cap8
+    list_counts = jnp.where(overflow, 0, counts)
     sweep_counts = jnp.where(overflow, E // LEAF_TRIS, 0).astype(jnp.int32)
 
     def call(kernel_sweep, cnts, rows, rows_spec, carry=None):

@@ -336,7 +336,10 @@ def build_leaf_table(tv0, tv1, tv2) -> LeafTable:
     tv2 = np.asarray(tv2, np.float32)
     T = len(tv0)
     n0 = -(-T // LEAF_TRIS)
-    n_pad = -(-(n0 + 1) // 8) * 8  # >= 1 inert pad row for list padding
+    # Pad with one FULL inert 8-row group beyond the last (possibly
+    # partial) real group: group-granularity candidate lists point their
+    # padding slots at it (all-zero rows fail every MT |det| test).
+    n_pad = (-(-n0 // 8) + 1) * 8
     rec = np.full(n_pad * LEAF_TRIS, -1, np.int32)
     rec[:T] = np.arange(T, dtype=np.int32)
     table = np.zeros((n_pad, LANE), np.float32)
