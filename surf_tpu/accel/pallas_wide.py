@@ -1343,11 +1343,14 @@ def _traverse_bits_padded(ltab, box_lo, box_hi, anc,
         body2, (jnp.moveaxis(o3, 1, 0), jnp.moveaxis(inv3, 1, 0), tm2))
     if H > 1:
         bits2 = jnp.moveaxis(bits2, 2, 1).reshape(gH, EB)
-    # bits2 is a subset of bits (tighter t bound), so leaf_vis(bits2) is a
-    # subset of vis; tail = surviving candidates not in round A's prefix.
-    vis2 = leaf_vis(bits2) & (key >= k1_8 * LEAF_TRIS)
-    counts2, _, rows3d_b = compact_rows(vis2)
-    cnts_b = jnp.where(overflow, 0, (counts2 + LEAF_TRIS - 1) // LEAF_TRIS)
+    # bits2 is a subset of bits (tighter t bound), so group_any(leaf_vis(
+    # bits2)) is a subset of the round-A group mask and every surviving
+    # group has a valid round-A list position in `key`; the tail is the
+    # surviving groups NOT in round A's k1_8-group prefix.  Everything
+    # stays at group granularity (round A processed whole groups).
+    vis2g = group_any(leaf_vis(bits2)) & (key >= k1_8)
+    counts2, _, rows3d_b = compact_groups(vis2g)
+    cnts_b = jnp.where(overflow, 0, counts2)
     t_l, r_l, u_l, v_l = call(False, cnts_b, rows3d_b, list_spec, carry=A)
     return sel(t_s, t_l), sel(r_s, r_l), sel(u_s, u_l), sel(v_s, v_l)
 

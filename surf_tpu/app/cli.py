@@ -114,6 +114,9 @@ def run(cfg: AppConfig) -> dict:
             # Scene motion invalidates the accumulator (main.cpp:411-419);
             # deferred to drain time so in-flight frames land in order.
             acc.clear()
+        # Stats stay device arrays until drain time so --wave-stats does
+        # not serialize the dispatch loop under --frames-in-flight.
+        extra_f = {k: float(np.asarray(v)) for k, v in extra_f.items()}
         radiance_h = np.asarray(jax.block_until_ready(radiance_d))
         acc.add_frame(radiance_h, spp_f)
         m = log.tick(spp_f, acc.total_samples, acc.energy(), **extra_f)
@@ -143,11 +146,10 @@ def run(cfg: AppConfig) -> dict:
         elif cfg.wave_stats:
             from ..wavefront.integrator import render_frame_instrumented
 
-            radiance, stats = render_frame_instrumented(
+            radiance, extra = render_frame_instrumented(
                 host.render_scene, rcfg, cam_params,
                 jnp.uint32(dispatch_samples),
             )
-            extra = {k: float(np.asarray(v)) for k, v in stats.items()}
         elif cfg.defer:
             # Cross-frame deferral (renderer.cpp:1101-1104): capped-out
             # paths resume next frame; zero estimator bias at any wave cap.
