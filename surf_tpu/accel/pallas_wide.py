@@ -78,6 +78,7 @@ class WideTrace(NamedTuple):
     box_hi: jnp.ndarray | None = None    # [3, E] f32
     anc: jnp.ndarray | None = None       # [n_rows, MAXD] int32
     inert_row: int = 0
+    ltabw: jnp.ndarray | None = None     # [n_pad, 128] f32 Baldwin–Weber
 
 
 def device_wide_trace(ws: WideStream) -> WideTrace:
@@ -111,6 +112,7 @@ def device_wide_trace(ws: WideStream) -> WideTrace:
         box_hi=jnp.asarray(lt.box_hi.T.copy()),
         anc=jnp.asarray(lt.anc),
         inert_row=int(lt.table.shape[0] - 1),
+        ltabw=jnp.asarray(lt.tablew),
     )
 
 
@@ -1072,10 +1074,57 @@ def _mt8(row, row_i, ox, oy, oz, dx, dy, dz, c, dtype=jnp.float32):
     return best_t, best_r, best_u, best_v
 
 
+def _bw8(row, row_i, ox, oy, oz, dx, dy, dz, c):
+    """8 Baldwin–Weber plane+barycentric tests of one precomputed-
+    coefficient row (LeafTable.tablew) against a ray block — ~1.4x fewer
+    VPU issues than Möller–Trumbore for the same decision: den = n.d is
+    the MT determinant up to sign (a = -n.d exactly), t from the plane
+    equation, u/v from the precomputed affine barycentric rows.  Float
+    rounding differs from MT, so winners within ~1 ulp of a tie may flip
+    (isolated silhouette pixels); the integrator re-intersects the winner
+    in f32 MT either way (integrator.py _reintersect), exactly like the
+    oracle-parity argument for tie-breaks between the walk orders."""
+    best_t, best_r, best_u, best_v = c
+    for j in range(WIDTH):
+        b = REC * j
+        nx = row[0, b + 0]
+        ny = row[0, b + 1]
+        nz = row[0, b + 2]
+        d0 = row[0, b + 3]
+        a1x = row[0, b + 4]
+        a1y = row[0, b + 5]
+        a1z = row[0, b + 6]
+        a1w = row[0, b + 7]
+        a2x = row[0, b + 8]
+        a2y = row[0, b + 9]
+        a2z = row[0, b + 10]
+        a2w = row[0, b + 11]
+        sid = row_i[0, b + 12]
+        den = nx * dx + ny * dy + nz * dz
+        num = d0 - (nx * ox + ny * oy + nz * oz)
+        t = num * (jnp.float32(1.0) / den)
+        px = ox + t * dx
+        py = oy + t * dy
+        pz = oz + t * dz
+        u = a1w + a1x * px + a1y * py + a1z * pz
+        v = a2w + a2x * px + a2y * py + a2z * pz
+        hit = (
+            (jnp.abs(den) >= _EPS)
+            & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t >= _EPS) & (t < best_t)
+        )
+        best_t = jnp.where(hit, t, best_t)
+        best_r = jnp.where(hit, sid, best_r)
+        best_u = jnp.where(hit, u, best_u)
+        best_v = jnp.where(hit, v, best_v)
+    return best_t, best_r, best_u, best_v
+
+
 def _leaf_rows_kernel(counts_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
                       dz_ref, tm_ref, rows_ref, *refs,
                       cap8: int, sweep: bool, halves: int,
-                      carry_in: bool = False, use_bf16: bool = False):
+                      carry_in: bool = False, use_bf16: bool = False,
+                      use_bw: bool = False, rows_per_trip: int = LEAF_TRIS):
     """Phase-2 leaf intersection over AFFINE row addresses.
 
     sweep=False: rows_ref is the per-sub-block gather-compacted row buffer
@@ -1108,13 +1157,16 @@ def _leaf_rows_kernel(counts_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
         dz = dz_ref[0, sl].astype(dt)
 
         def group(gi, c, h=h, ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz):
-            for e in range(LEAF_TRIS):
+            for e in range(rows_per_trip):
                 if sweep:
-                    row = rows_ref[pl.ds(gi * LEAF_TRIS + e, 1), :]
+                    row = rows_ref[pl.ds(gi * rows_per_trip + e, 1), :]
                 else:
-                    row = rows_ref[h, pl.ds(gi * LEAF_TRIS + e, 1), :]
+                    row = rows_ref[h, pl.ds(gi * rows_per_trip + e, 1), :]
                 row_i = pltpu.bitcast(row, jnp.int32)
-                c = _mt8(row, row_i, ox, oy, oz, dx, dy, dz, c, dt)
+                if use_bw:
+                    c = _bw8(row, row_i, ox, oy, oz, dx, dy, dz, c)
+                else:
+                    c = _mt8(row, row_i, ox, oy, oz, dx, dy, dz, c, dt)
             return c
 
         # carries/decisions stay f32 (no packed-bf16 compares on v5e);
@@ -1151,13 +1203,14 @@ BITS_REFINE_ROWS = 192
 
 @functools.partial(jax.jit, static_argnames=(
     "any_hit", "interpret", "cap_rows", "inert_row", "sub_lists",
-    "refine_rows", "use_bf16"))
+    "refine_rows", "use_bf16", "use_bw", "row_lists"))
 def _traverse_bits_padded(ltab, box_lo, box_hi, anc,
                           ox, oy, oz, dx, dy, dz, tm, ac,
                           any_hit: bool, interpret: bool,
                           cap_rows: int, inert_row: int,
                           sub_lists: bool = False, refine_rows: int = 0,
-                          use_bf16: bool = False):
+                          use_bf16: bool = False, use_bw: bool = False,
+                          row_lists: bool = False):
     g, sub, _ = ox.shape
     R = sub * LANE
     E = ltab.shape[0]
@@ -1253,9 +1306,51 @@ def _traverse_bits_padded(ltab, box_lo, box_hi, anc,
         return cz, kz, jnp.take(ltab, rows_idx, axis=0).reshape(
             gH, cap, LANE)
 
-    counts, key, rows3d = compact_groups(group_any(vis))
+    if row_lists:
+        # phase 1.5b': EXACT row lists — no group-8 rounding (which
+        # inflates processed rows ~1.9x on bounce unions at 2048-ray
+        # packets, out_configs/bits_union_study.json).  The compaction
+        # scatter is replaced by a per-packet one-hot CONTRACTION
+        # (bandwidth-bound, ~15 ns/ray) because the TPU scatter costs
+        # ~44 ns per update ENTRY (dropped or not), which made
+        # row-granularity scatters 8x the group cost.  lst[k] = sum_j
+        # onehot(key_j == k & vis_j) * j, evaluated as a bf16 matvec with
+        # j split into (j//64, j%64) columns — every product is an exact
+        # bf16 integer < 64 and each column sum has exactly one term, so
+        # the contraction is exact.
+        assert H == 1 and refine_rows <= 0, \
+            "row_lists is packet-wide and excludes the t-refresh round"
+        key = None
+        counts = vis.sum(axis=1, dtype=jnp.int32)
+        keyr = jnp.cumsum(vis, axis=1, dtype=jnp.int32) - 1
+        ids_hi = (jnp.arange(L, dtype=jnp.int32) // 64).astype(jnp.bfloat16)
+        ids_lo = (jnp.arange(L, dtype=jnp.int32) % 64).astype(jnp.bfloat16)
+        rhs = jnp.stack([ids_hi, ids_lo], axis=1)  # [L, 2]
+        karange = jnp.arange(cap, dtype=jnp.int32)
 
-    overflow = counts > cap8
+        def one_list(args):
+            visp, keyp, cntp = args
+            oh = ((keyp[:, None] == karange[None, :])
+                  & visp[:, None]).astype(jnp.bfloat16)       # [L, cap]
+            out = jax.lax.dot_general(
+                rhs, oh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # [2, cap]
+            lstp = (out[0] * 64 + out[1]).astype(jnp.int32)
+            return jnp.where(karange < jnp.minimum(cntp, cap),
+                             lstp, inert_row)
+
+        lst = jax.lax.map(one_list, (vis, keyr, counts))      # [gH, cap]
+        rows3d = jnp.take(ltab, lst.reshape(-1), axis=0).reshape(
+            gH, cap, LANE)
+        trip_cap, rows_step = cap, 1
+        overflow = counts > cap
+    else:
+        counts, key, rows3d = compact_groups(group_any(vis))
+        trip_cap, rows_step = cap8, LEAF_TRIS
+        overflow = counts > cap8
+
+    # The sweep fallback always walks the whole table at LEAF_TRIS rows
+    # per trip, independent of the list granularity.
     list_counts = jnp.where(overflow, 0, counts)
     sweep_counts = jnp.where(overflow, E // LEAF_TRIS, 0).astype(jnp.int32)
 
@@ -1276,9 +1371,10 @@ def _traverse_bits_padded(ltab, box_lo, box_hi, anc,
         ]
         kernel = functools.partial(
             _leaf_rows_kernel,
-            cap8=(E // LEAF_TRIS if kernel_sweep else cap8),
+            cap8=(E // LEAF_TRIS if kernel_sweep else trip_cap),
             sweep=kernel_sweep, halves=H, carry_in=carry is not None,
-            use_bf16=use_bf16)
+            use_bf16=use_bf16, use_bw=use_bw,
+            rows_per_trip=(LEAF_TRIS if kernel_sweep else rows_step))
         return pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape,
             interpret=interpret,
@@ -1442,15 +1538,30 @@ def traverse_wide(
 
     if algo.startswith("bits"):
         # "bits" three-phase list-driven; variants: trailing "h" = bf16
-        # leaf math (2.06x VPU, approximate winners near ties), "bits2" =
-        # t-refresh refinement round, "bits8" = per-(8,128) lists.
+        # leaf math (measured LOSS on v5e: slower AND badly inaccurate on
+        # real bounce rays — absolute-coordinate cancellation; kept only
+        # as a cautionary option), "bitsw" = Baldwin–Weber precomputed
+        # rows (~1.4x fewer VPU issues, winner flips only at float ties),
+        # "bits2" = t-refresh refinement round, "bits8" = per-(8,128)
+        # lists.
         use_bf16 = algo.endswith("h")
         base = algo[:-1] if use_bf16 else algo
-        assert base in ("bits", "bits2", "bits8"), f"unknown algo {algo}"
+        # trailing "r" = EXACT row lists (one-hot-contraction compaction,
+        # no group-8 rounding): "bitsr", "bitswr".
+        row_lists = base.endswith("r")
+        base = base[:-1] if row_lists else base
+        use_bw = base == "bitsw"
+        assert base in ("bits", "bits2", "bits8", "bitsw"), \
+            f"unknown algo {algo}"
+        assert not (row_lists and base in ("bits2", "bits8")), \
+            "row lists are packet-wide (no sub-lists / t-refresh)"
         assert wt.ltab is not None, \
             "WideTrace lacks a LeafTable (rebuild via device_wide_trace)"
+        assert not (use_bw and wt.ltabw is None), \
+            "WideTrace lacks a Baldwin–Weber table (rebuild the scene)"
         t_o, r_o, u_o, v_o = _traverse_bits_padded(
-            wt.ltab, wt.box_lo, wt.box_hi, wt.anc,
+            wt.ltabw if use_bw else wt.ltab,
+            wt.box_lo, wt.box_hi, wt.anc,
             prep(origin[:, 0]), prep(origin[:, 1]), prep(origin[:, 2]),
             prep(direction[:, 0], 1), prep(direction[:, 1], 1),
             prep(direction[:, 2], 1),
@@ -1459,7 +1570,7 @@ def traverse_wide(
             int(wt.inert_row), sub_lists=base == "bits8",
             refine_rows=(refine_rows or BITS_REFINE_ROWS)
             if base == "bits2" else 0,
-            use_bf16=use_bf16,
+            use_bf16=use_bf16, use_bw=use_bw, row_lists=row_lists,
         )
 
         def unprep(x):

@@ -69,6 +69,7 @@ class TraceArrays(NamedTuple):
     wide_box_lo: jnp.ndarray | None = None   # [3,E] f32 row+hierarchy boxes
     wide_box_hi: jnp.ndarray | None = None   # [3,E] f32
     wide_anc: jnp.ndarray | None = None      # [n_rows,MAXD] i32 root paths
+    wide_ltabw: jnp.ndarray | None = None    # [n_pad,128] f32 Baldwin–Weber
 
 
 def pack_records_np(f32_cols, i32_cols) -> np.ndarray:

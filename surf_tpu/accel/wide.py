@@ -325,6 +325,61 @@ class LeafTable(NamedTuple):
     box_hi: np.ndarray    # [E, 3]
     anc: np.ndarray       # [n_rows, MAXD] int32 (self, parent, ..., root)
     n_rows: int           # real leaf rows
+    # Baldwin–Weber precomputed-coefficient rows (algo="bitsw"), same
+    # row/record structure: per 16-lane record
+    #   [nx ny nz d0  a1x a1y a1z a1w  a2x a2y a2z a2w  slot 0 0 0]
+    # where n = e1 x e2 (unnormalized), d0 = n.v0, and (a1, a1w)/(a2, a2w)
+    # are the affine barycentric rows: u = a1.p + a1w, v = a2.p + a2w for
+    # a point p on the triangle plane.  The plane test n.d equals the
+    # Möller–Trumbore determinant up to sign (a = -n.d exactly), so the
+    # |den| >= 1e-5 gate matches the oracle's |det| gate (mesh.cpp:23-62
+    # semantics) up to float rounding.  ~1.4x fewer VPU issues per test
+    # than MT.  Padding/degenerate records are all-zero -> den == 0 ->
+    # gated off.
+    tablew: np.ndarray | None = None  # [n_pad, 128] f32
+
+
+def _fill_bw_rows(table, rec, tv0, tv1, tv2):
+    """Vectorized in-place write of Baldwin–Weber records (see LeafTable).
+    Coefficients are derived in float64 and stored f32; the projection
+    axis k is the dominant normal axis, with (i, j, k) cyclic so the 2-D
+    determinant equals n_k exactly."""
+    valid = rec >= 0
+    pos = np.nonzero(valid)[0]
+    ridx = pos // LEAF_TRIS
+    lane0 = (pos % LEAF_TRIS) * REC
+    slots = rec[valid]
+    v0 = tv0[slots].astype(np.float64)
+    e1 = (tv1[slots] - tv0[slots]).astype(np.float64)
+    e2 = (tv2[slots] - tv0[slots]).astype(np.float64)
+    n = np.cross(e1, e2)
+    k = np.argmax(np.abs(n), axis=1)
+    i_ = (k + 1) % 3
+    j_ = (k + 2) % 3
+    r = np.arange(len(slots))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = 1.0 / n[r, k]
+    a1 = np.zeros((len(slots), 3))
+    a2 = np.zeros((len(slots), 3))
+    a1[r, i_] = e2[r, j_] * inv
+    a1[r, j_] = -e2[r, i_] * inv
+    a1w = (e2[r, i_] * v0[r, j_] - e2[r, j_] * v0[r, i_]) * inv
+    a2[r, i_] = -e1[r, j_] * inv
+    a2[r, j_] = e1[r, i_] * inv
+    a2w = (e1[r, j_] * v0[r, i_] - e1[r, i_] * v0[r, j_]) * inv
+    d0 = np.einsum("ij,ij->i", n, v0)
+    cols = [n[:, 0], n[:, 1], n[:, 2], d0,
+            a1[:, 0], a1[:, 1], a1[:, 2], a1w,
+            a2[:, 0], a2[:, 1], a2[:, 2], a2w]
+    for c, col in enumerate(cols):
+        # Degenerate triangles (n == 0) produce inf/nan coefficients; the
+        # den == 0 gate keeps them from ever hitting, matching MT's
+        # |det| < eps rejection.
+        table[ridx, lane0 + c] = col.astype(np.float32)
+    table[ridx, lane0 + 12] = slots.astype(np.int32).view(np.float32)
+
+
+BW_SLOT_LANE = 12  # slot-id lane within a Baldwin–Weber record
 
 
 def build_leaf_table(tv0, tv1, tv2) -> LeafTable:
@@ -351,6 +406,8 @@ def build_leaf_table(tv0, tv1, tv2) -> LeafTable:
     for j in range(LEAF_TRIS):
         table[:, REC * j + 9] = np.ascontiguousarray(
             rec2d[:, j]).view(np.float32)
+    tablew = np.zeros((n_pad, LANE), np.float32)
+    _fill_bw_rows(tablew, rec, tv0, tv1, tv2)
 
     tlo, thi = triangle_bounds(tv0, tv1, tv2)
     lo0 = np.full((n0, 3), np.inf, np.float32)
@@ -378,7 +435,7 @@ def build_leaf_table(tv0, tv1, tv2) -> LeafTable:
     anc = np.empty((n0, maxd), np.int32)
     for k in range(maxd):
         anc[:, k] = offs[k] + r // (8 ** k)
-    return LeafTable(table, rec, box_lo, box_hi, anc, n0)
+    return LeafTable(table, rec, box_lo, box_hi, anc, n0, tablew)
 
 
 def compute_own_boxes(stream, rec_slot, n_entries):

@@ -203,6 +203,7 @@ class HostCompiled:
                     tris_packed=j(tris_packed),
                     wide_stream=j(ws.stream),
                     wide_ltab=j(lt.table),
+                    wide_ltabw=j(lt.tablew),
                     wide_box_lo=j(lt.box_lo.T.copy()),
                     wide_box_hi=j(lt.box_hi.T.copy()),
                 ),
@@ -238,6 +239,7 @@ class HostCompiled:
                 wide_stream=j(ws.stream),
                 wide_rec_slot=j(ws.rec_slot),
                 wide_ltab=j(lt.table),
+                wide_ltabw=j(lt.tablew),
                 wide_lrec=j(lt.rec_slot),
                 wide_box_lo=j(lt.box_lo.T.copy()),
                 wide_box_hi=j(lt.box_hi.T.copy()),

@@ -222,6 +222,7 @@ def _dispatch_traverse(cfg: RenderConfig, trace, origin, direction, t_max,
             return traverse_wide(
                 WideTrace(trace.wide_stream, trace.wide_rec_slot,
                           ltab=trace.wide_ltab,
+                          ltabw=trace.wide_ltabw,
                           lrec=trace.wide_lrec,
                           box_lo=trace.wide_box_lo,
                           box_hi=trace.wide_box_hi,

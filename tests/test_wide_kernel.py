@@ -159,6 +159,38 @@ def test_bits_matches_oracle_indoor(indoor):
     assert np.array_equal((rec2 >= 0)[act], (np.asarray(hb2.prim) >= 0)[act])
 
 
+def test_bitsw_matches_bits(indoor):
+    """algo="bitsw" (Baldwin–Weber precomputed rows) must agree with
+    "bits" (Möller–Trumbore) everywhere except float-tie winner flips:
+    den = n.d equals the MT determinant up to sign exactly in real
+    arithmetic, and u/v/t are the same quantities computed in a different
+    factorization — only rounding differs.  On this fixture no flips
+    occur; t agrees to ~1e-4 relative (different op order)."""
+    n = 4096
+    o, d = _rays(n, seed=29, span=3.0)
+    tmax = jnp.full(n, 1e30, jnp.float32)
+    act = jnp.ones(n, bool)
+    hm = traverse_wide(_wt(indoor), o, d, tmax, act,
+                       False, interpret=True, algo="bits")
+    hw = traverse_wide(_wt(indoor), o, d, tmax, act,
+                       False, interpret=True, algo="bitsw")
+    pm, pw = np.asarray(hm.prim), np.asarray(hw.prim)
+    agree = pm == pw
+    assert agree.mean() >= 0.999
+    both = agree & (pm >= 0)
+    assert np.allclose(np.asarray(hm.t)[both], np.asarray(hw.t)[both],
+                       rtol=1e-4, atol=1e-4)
+    assert np.allclose(np.asarray(hm.u)[both], np.asarray(hw.u)[both],
+                       atol=2e-3)
+    # any-hit occlusion parity
+    am = traverse_wide(_wt(indoor), o, d, jnp.full(n, 6.0, jnp.float32),
+                       act, True, interpret=True, algo="bitsw")
+    ax = traverse_wide(_wt(indoor), o, d, jnp.full(n, 6.0, jnp.float32),
+                       act, True, interpret=True, algo="bits")
+    assert ((np.asarray(am.prim) >= 0) ==
+            (np.asarray(ax.prim) >= 0)).mean() >= 0.999
+
+
 def test_bits_subblock_lists(indoor):
     """algo="bits8" at block_rays=2048 builds one candidate list per
     (8,128) sub-block (H=2); plain "bits" at 2048 shares one packet-wide
