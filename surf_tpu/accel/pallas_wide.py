@@ -1120,11 +1120,124 @@ def _bw8(row, row_i, ox, oy, oz, dx, dy, dz, c):
     return best_t, best_r, best_u, best_v
 
 
+_INF = np.float32(np.inf)
+
+
+def _merge_hits(a, b):
+    """Left-preferring closest-hit merge: on t ties the LEFT (lower
+    stream-order) candidate wins, matching the sequential strict-<
+    replacement order."""
+    ta, ra, ua, va = a
+    tb, rb, ub, vb = b
+    s = tb < ta
+    return (jnp.where(s, tb, ta), jnp.where(s, rb, ra),
+            jnp.where(s, ub, ua), jnp.where(s, vb, va))
+
+
+def _mt8_ilp(row, row_i, ox, oy, oz, dx, dy, dz, c):
+    """_mt8 restructured for instruction-level parallelism: the 8
+    Möller–Trumbore tests are fully independent (no best_t in their
+    conditions — failed tests get t = +inf), merged by a 3-level
+    left-preferring min-tree, and compared against the carried best ONCE
+    per row.  Identical results to the sequential version: among equal-t
+    candidates the lowest record index wins at every tree level, and the
+    final strict < keeps earlier rows' winners on cross-row ties.  The
+    sequential version's per-tri select chain serializes 8 dependent
+    ~10-op latency chains per row; here the chains overlap."""
+    cands = []
+    for j in range(WIDTH):
+        b = REC * j
+        v0x = row[0, b + 0]
+        v0y = row[0, b + 1]
+        v0z = row[0, b + 2]
+        e1x = row[0, b + 3]
+        e1y = row[0, b + 4]
+        e1z = row[0, b + 5]
+        e2x = row[0, b + 6]
+        e2y = row[0, b + 7]
+        e2z = row[0, b + 8]
+        sid = row_i[0, b + 9]
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        f = jnp.float32(1.0) / a
+        sx = ox - v0x
+        sy = oy - v0y
+        sz = oz - v0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (dx * qx + dy * qy + dz * qz)
+        t = f * (e2x * qx + e2y * qy + e2z * qz)
+        ok = (
+            (jnp.abs(a) >= _EPS)
+            & (u >= 0.0) & (u <= 1.0)
+            & (v >= 0.0) & (u + v <= 1.0)
+            & (t >= _EPS)
+        )
+        cands.append((jnp.where(ok, t, _INF), sid, u, v))
+    m = _merge_hits(
+        _merge_hits(_merge_hits(cands[0], cands[1]),
+                    _merge_hits(cands[2], cands[3])),
+        _merge_hits(_merge_hits(cands[4], cands[5]),
+                    _merge_hits(cands[6], cands[7])))
+    best_t, best_r, best_u, best_v = c
+    hit = m[0] < best_t
+    return (jnp.where(hit, m[0], best_t), jnp.where(hit, m[1], best_r),
+            jnp.where(hit, m[2], best_u), jnp.where(hit, m[3], best_v))
+
+
+def _bw8_ilp(row, row_i, ox, oy, oz, dx, dy, dz, c):
+    """_bw8 with the same ILP min-tree restructure as _mt8_ilp."""
+    cands = []
+    for j in range(WIDTH):
+        b = REC * j
+        nx = row[0, b + 0]
+        ny = row[0, b + 1]
+        nz = row[0, b + 2]
+        d0 = row[0, b + 3]
+        a1x = row[0, b + 4]
+        a1y = row[0, b + 5]
+        a1z = row[0, b + 6]
+        a1w = row[0, b + 7]
+        a2x = row[0, b + 8]
+        a2y = row[0, b + 9]
+        a2z = row[0, b + 10]
+        a2w = row[0, b + 11]
+        sid = row_i[0, b + 12]
+        den = nx * dx + ny * dy + nz * dz
+        num = d0 - (nx * ox + ny * oy + nz * oz)
+        t = num * (jnp.float32(1.0) / den)
+        px = ox + t * dx
+        py = oy + t * dy
+        pz = oz + t * dz
+        u = a1w + a1x * px + a1y * py + a1z * pz
+        v = a2w + a2x * px + a2y * py + a2z * pz
+        ok = (
+            (jnp.abs(den) >= _EPS)
+            & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t >= _EPS)
+        )
+        cands.append((jnp.where(ok, t, _INF), sid, u, v))
+    m = _merge_hits(
+        _merge_hits(_merge_hits(cands[0], cands[1]),
+                    _merge_hits(cands[2], cands[3])),
+        _merge_hits(_merge_hits(cands[4], cands[5]),
+                    _merge_hits(cands[6], cands[7])))
+    best_t, best_r, best_u, best_v = c
+    hit = m[0] < best_t
+    return (jnp.where(hit, m[0], best_t), jnp.where(hit, m[1], best_r),
+            jnp.where(hit, m[2], best_u), jnp.where(hit, m[3], best_v))
+
+
 def _leaf_rows_kernel(counts_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
                       dz_ref, tm_ref, rows_ref, *refs,
                       cap8: int, sweep: bool, halves: int,
                       carry_in: bool = False, use_bf16: bool = False,
-                      use_bw: bool = False, rows_per_trip: int = LEAF_TRIS):
+                      use_bw: bool = False, rows_per_trip: int = LEAF_TRIS,
+                      ilp: bool = False):
     """Phase-2 leaf intersection over AFFINE row addresses.
 
     sweep=False: rows_ref is the per-sub-block gather-compacted row buffer
@@ -1164,7 +1277,10 @@ def _leaf_rows_kernel(counts_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
                     row = rows_ref[h, pl.ds(gi * rows_per_trip + e, 1), :]
                 row_i = pltpu.bitcast(row, jnp.int32)
                 if use_bw:
-                    c = _bw8(row, row_i, ox, oy, oz, dx, dy, dz, c)
+                    fn = _bw8_ilp if ilp else _bw8
+                    c = fn(row, row_i, ox, oy, oz, dx, dy, dz, c)
+                elif ilp:
+                    c = _mt8_ilp(row, row_i, ox, oy, oz, dx, dy, dz, c)
                 else:
                     c = _mt8(row, row_i, ox, oy, oz, dx, dy, dz, c, dt)
             return c
@@ -1203,14 +1319,14 @@ BITS_REFINE_ROWS = 192
 
 @functools.partial(jax.jit, static_argnames=(
     "any_hit", "interpret", "cap_rows", "inert_row", "sub_lists",
-    "refine_rows", "use_bf16", "use_bw", "row_lists"))
+    "refine_rows", "use_bf16", "use_bw", "row_lists", "ilp"))
 def _traverse_bits_padded(ltab, box_lo, box_hi, anc,
                           ox, oy, oz, dx, dy, dz, tm, ac,
                           any_hit: bool, interpret: bool,
                           cap_rows: int, inert_row: int,
                           sub_lists: bool = False, refine_rows: int = 0,
                           use_bf16: bool = False, use_bw: bool = False,
-                          row_lists: bool = False):
+                          row_lists: bool = False, ilp: bool = False):
     g, sub, _ = ox.shape
     R = sub * LANE
     E = ltab.shape[0]
@@ -1373,7 +1489,7 @@ def _traverse_bits_padded(ltab, box_lo, box_hi, anc,
             _leaf_rows_kernel,
             cap8=(E // LEAF_TRIS if kernel_sweep else trip_cap),
             sweep=kernel_sweep, halves=H, carry_in=carry is not None,
-            use_bf16=use_bf16, use_bw=use_bw,
+            use_bf16=use_bf16, use_bw=use_bw, ilp=ilp,
             rows_per_trip=(LEAF_TRIS if kernel_sweep else rows_step))
         return pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape,
@@ -1537,23 +1653,20 @@ def traverse_wide(
         return x.reshape(g, sub, LANE)
 
     if algo.startswith("bits"):
-        # "bits" three-phase list-driven; variants: trailing "h" = bf16
-        # leaf math (measured LOSS on v5e: slower AND badly inaccurate on
-        # real bounce rays — absolute-coordinate cancellation; kept only
-        # as a cautionary option), "bitsw" = Baldwin–Weber precomputed
-        # rows (~1.4x fewer VPU issues, winner flips only at float ties),
-        # "bits2" = t-refresh refinement round, "bits8" = per-(8,128)
-        # lists.
-        use_bf16 = algo.endswith("h")
-        base = algo[:-1] if use_bf16 else algo
-        # trailing "r" = EXACT row lists (one-hot-contraction compaction,
-        # no group-8 rounding): "bitsr", "bitswr".
-        row_lists = base.endswith("r")
-        base = base[:-1] if row_lists else base
-        use_bw = base == "bitsw"
-        assert base in ("bits", "bits2", "bits8", "bitsw"), \
-            f"unknown algo {algo}"
-        assert not (row_lists and base in ("bits2", "bits8")), \
+        # "bits" three-phase list-driven traversal.
+        # Flag characters after "bits" compose (any order):
+        #   2 = t-refresh refinement round      8 = per-(8,128) sub-lists
+        #   w = Baldwin–Weber rows              r = exact row lists
+        #   h = bf16 leaf math (measured LOSS)  i = ILP min-tree merge
+        flags = set(algo[4:])
+        assert flags <= set("28whri"), f"unknown algo {algo}"
+        use_bf16 = "h" in flags
+        use_bw = "w" in flags
+        row_lists = "r" in flags
+        ilp = "i" in flags
+        refine = "2" in flags
+        sub_l = "8" in flags
+        assert not (row_lists and (refine or sub_l)), \
             "row lists are packet-wide (no sub-lists / t-refresh)"
         assert wt.ltab is not None, \
             "WideTrace lacks a LeafTable (rebuild via device_wide_trace)"
@@ -1567,10 +1680,9 @@ def traverse_wide(
             prep(direction[:, 2], 1),
             prep(t_max.astype(jnp.float32)), prep(active.astype(jnp.int32)),
             any_hit, interpret, cap_rows or BITS_CAP_ROWS,
-            int(wt.inert_row), sub_lists=base == "bits8",
-            refine_rows=(refine_rows or BITS_REFINE_ROWS)
-            if base == "bits2" else 0,
-            use_bf16=use_bf16, use_bw=use_bw, row_lists=row_lists,
+            int(wt.inert_row), sub_lists=sub_l,
+            refine_rows=(refine_rows or BITS_REFINE_ROWS) if refine else 0,
+            use_bf16=use_bf16, use_bw=use_bw, row_lists=row_lists, ilp=ilp,
         )
 
         def unprep(x):
