@@ -159,6 +159,30 @@ def test_bits_matches_oracle_indoor(indoor):
     assert np.array_equal((rec2 >= 0)[act], (np.asarray(hb2.prim) >= 0)[act])
 
 
+def test_bits_flag_combos(box):
+    """Flag-composed bits variants vs plain bits on the box scene:
+    'i' (ILP min-tree merge) is bit-identical (same math, same winner
+    selection order); 'r' (exact row lists) is bit-identical (subset of
+    rows removed are provably hitless); 'w' (Baldwin–Weber) agrees on
+    winners except float ties."""
+    n = 2048
+    o, d = _rays(n, seed=17)
+    tmax = jnp.full(n, 1e30, jnp.float32)
+    act = jnp.ones(n, bool)
+    h0 = traverse_wide(_wt(box), o, d, tmax, act, False, interpret=True,
+                       algo="bits")
+    for algo, exact in (("bitsi", True), ("bitsr", True), ("bitsri", True),
+                        ("bitswi", False), ("bitswri", False)):
+        h1 = traverse_wide(_wt(box), o, d, tmax, act, False,
+                           interpret=True, algo=algo)
+        agree = np.asarray(h0.prim) == np.asarray(h1.prim)
+        if exact:
+            assert agree.all(), algo
+            assert np.array_equal(np.asarray(h0.t), np.asarray(h1.t)), algo
+        else:
+            assert agree.mean() >= 0.999, algo
+
+
 def test_bitsw_matches_bits(indoor):
     """algo="bitsw" (Baldwin–Weber precomputed rows) must agree with
     "bits" (Möller–Trumbore) everywhere except float-tie winner flips:
