@@ -76,6 +76,11 @@ class RenderConfig(NamedTuple):
                                     # occupancy, so draining it fully is
                                     # cheap and keeps inflow < outflow)
     compact: bool = False           # partition live paths to the front
+    ladder: int = 0                 # width-ladder steps: after live count
+                                    # drops below 1/4 width, retire dead
+                                    # lanes and continue the wave loop at
+                                    # 1/4 the dispatch width (repeated;
+                                    # forward unbounded mode only)
     compact_every: int = 4          # ... on every k-th wave (cumsum+scatter
                                     # cost scales with lane count; 512^2
                                     # cadence A/B measured every-4th best:
@@ -545,6 +550,75 @@ def _bounce_loop(scene: RenderScene, cfg: RenderConfig, state: PathState
     return state
 
 
+def _bounce_loop_ladder(scene: RenderScene, cfg: RenderConfig,
+                        state: PathState):
+    """Width-ladder wave loop: run at full lane width only while >1/4 of
+    lanes are alive, then stable-compact, retire the dead suffix, and
+    continue the loop on the live prefix at 1/4 the width (repeated
+    cfg.ladder times).  Occupancy decays to <1% by wave ~20 on the indoor
+    scene while every width-proportional per-wave cost (shade, NEE,
+    RNG, compaction, phase-1 scan) still pays full lane width — the
+    ladder is the TPU-native stand-in for the reference's shrinking
+    atomic work queues (renderer.cpp:1070-1105) at the *dispatch width*
+    level, complementing the traversal's dead-packet skip.
+
+    Per-lane results are bit-identical to the plain compacted loop: each
+    lane sees the same masked op sequence and carries its own RNG
+    stream; only the set of lanes co-resident in a dispatch changes.
+    Returns (seed, energy) in PIXEL order — each lane scatters home
+    exactly once across the retirement banks."""
+    n = state.seed.shape[0]
+
+    def wave(i, s):
+        if cfg.compact:
+            if cfg.compact_every > 1:
+                s = jax.lax.cond(
+                    i % cfg.compact_every == 0, compact_paths,
+                    lambda x: x, s)
+            else:
+                s = compact_paths(s)
+        return bounce_step(scene, cfg, s)
+
+    def run(i0, s, thresh):
+        def cond(carry):
+            i, s2 = carry
+            ok = jnp.any(s2.alive) & (i < cfg.wave_limit)
+            if thresh is not None:
+                ok = ok & (jnp.sum(s2.alive) > thresh)
+            return ok
+
+        def body(carry):
+            i, s2 = carry
+            return i + 1, wave(i, s2)
+
+        return jax.lax.while_loop(cond, body, (i0, s))
+
+    widths = []
+    m = n
+    for _ in range(cfg.ladder):
+        m //= 4
+        if m >= 1024:  # no narrower than one (8,128) traversal block
+            widths.append(m)
+
+    banked = []  # (pixel, seed, energy) of lanes retired from the loop
+    i = jnp.int32(0)
+    for m in widths:
+        i, state = run(i, state, jnp.int32(m))
+        state = compact_paths(state)
+        banked.append((state.pixel[m:], state.seed[m:],
+                       state.energy[m:]))
+        state = PathState(*(x[:m] for x in state))
+    i, state = run(i, state, None)
+    banked.append((state.pixel, state.seed, state.energy))
+
+    seed_out = jnp.zeros(n, jnp.uint32)
+    energy_out = jnp.zeros((n, 3), jnp.float32)
+    for p, sd, e in banked:
+        seed_out = seed_out.at[p].set(sd, unique_indices=True)
+        energy_out = energy_out.at[p].set(e, unique_indices=True)
+    return seed_out, energy_out
+
+
 def render_sample(scene: RenderScene, cfg: RenderConfig, vp: ViewPlane,
                   seed, px, py):
     """One sample for every pixel lane: raygen + full bounce loop on device."""
@@ -561,6 +635,8 @@ def render_sample(scene: RenderScene, cfg: RenderConfig, vp: ViewPlane,
         alive=jnp.ones(n, bool),
         pixel=jnp.arange(n, dtype=jnp.int32),
     )
+    if cfg.ladder > 0 and cfg.max_bounces is None:
+        return _bounce_loop_ladder(scene, cfg, state)
     state = _bounce_loop(scene, cfg, state)
 
     if cfg.compact:

@@ -127,3 +127,23 @@ def test_deferral_with_compaction_matches():
                        rtol=1e-5, atol=1e-6)
     assert np.array_equal(out["plain"][1], out["compact"][1])
     assert out["plain"][2] == out["compact"][2]
+
+
+def test_width_ladder_bit_identical():
+    """The width-ladder wave loop (cfg.ladder > 0) must be bit-identical
+    to the plain compacted loop: every lane sees the same masked op
+    sequence and carries its own RNG stream; only dispatch co-residency
+    changes.  64x64 puts one active rung (4096 -> 1024 lanes)."""
+    host = HostCompiled(builtin.make_diffuse_box_scene())
+    w = h = 64
+    cam = builtin.make_indoor_camera(w, h)
+    cp = CameraParams.from_camera(cam)
+    base = RenderConfig.for_scene(
+        host.static, w, h, 1, use_defocus=True)._replace(
+        max_bounces=None, wave_limit=32, compact=True)
+    seed = initial_seeds(base, jnp.uint32(0))
+    img0, s0 = render_frame_seeded(host.render_scene, base, cp, seed)
+    img1, s1 = render_frame_seeded(
+        host.render_scene, base._replace(ladder=2), cp, seed)
+    assert np.array_equal(np.asarray(img0), np.asarray(img1))
+    assert np.array_equal(np.asarray(s0), np.asarray(s1))
