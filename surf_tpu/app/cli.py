@@ -77,6 +77,10 @@ def run(cfg: AppConfig) -> dict:
         rcfg = rcfg._replace(wave_limit=cfg.wave_limit)
     if cfg.algo is not None:
         rcfg = rcfg._replace(algo=cfg.algo)
+    if cfg.ladder:
+        rcfg = rcfg._replace(ladder=cfg.ladder)
+    if cfg.block_rays is not None:
+        rcfg = rcfg._replace(block_rays=cfg.block_rays)
 
     if cfg.resume and cfg.checkpoint:
         acc = Accumulator.load(cfg.checkpoint)
@@ -229,6 +233,9 @@ def main(argv=None) -> int:
     p.add_argument("--defer", action="store_true", dest="defer_paths")
     p.add_argument("--wave-limit", type=int, default=None)
     p.add_argument("--algo", default=None)
+    p.add_argument("--ladder", type=int, default=0,
+                   help="width-ladder rungs for the wave loop")
+    p.add_argument("--block-rays", type=int, default=None)
     p.add_argument("--frames-in-flight", type=int, default=1,
                    help="dispatch-ahead depth (reference FRAMES_IN_FLIGHT=3)")
     p.add_argument("--checkpoint", default=None)
@@ -248,6 +255,7 @@ def main(argv=None) -> int:
             resume=args.resume, wave_stats=args.wave_stats,
             compact=args.compact, defer=args.defer_paths,
             wave_limit=args.wave_limit, algo=args.algo,
+            ladder=args.ladder, block_rays=args.block_rays,
             frames_in_flight=args.frames_in_flight,
         )
     run(cfg)

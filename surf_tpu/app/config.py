@@ -36,6 +36,8 @@ class AppConfig:
     defer: bool = False            # cross-frame deferral of capped paths
     wave_limit: int | None = None  # override the per-sample wave cap
     algo: str | None = None        # wide-kernel walk algorithm override
+    ladder: int = 0                # width-ladder rungs for the wave loop
+    block_rays: int | None = None  # traversal packet size override
     frames_in_flight: int = 1      # dispatch-ahead depth (renderer.h:22 = 3)
 
     @classmethod
