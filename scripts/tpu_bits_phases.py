@@ -117,7 +117,11 @@ def main():
         print(f"  {label} slope: {slope/1e6:.2f} M rays/s", flush=True)
         results[label] = slope
 
-    for algo in ("bits", "skip"):
+    algos = ("bits", "skip")
+    for a in sys.argv[1:]:
+        if a.startswith("--algos="):
+            algos = tuple(a.split("=", 1)[1].split(","))
+    for algo in algos:
         f = jax.jit(lambda o_, d_, t_, a_, g=algo: pw.traverse_wide(
             wt, o_, d_, t_, a_, any_hit=False, algo=g))
         ms = {}
