@@ -56,10 +56,13 @@ def run_bench(width, height, spp, max_bounces, use_pallas, frames=3,
         # a fori over max_bounces (dead lanes are masked), but exits as
         # soon as every path has terminated instead of paying all N waves.
         max_bounces=None, wave_limit=max_bounces, compact=use_pallas,
-        # Round-2 A/B-tuned knobs (256^2@4spp, one-process comparisons):
-        # 2048-ray packets amortize the per-visit fixed chain over a
-        # sub-linearly-growing union (-6%); compaction cadence 4 (-15%).
+        # Round-3 A/B-tuned knobs (256^2@4spp, one-process comparisons):
+        # 2048-ray packets beat 1024 even with exact row lists (666 vs
+        # 719 ms — per-packet phase-1/1.5 fixed cost dominates the union
+        # shrink); compaction cadence 4; width-ladder 4 rungs retires dead
+        # lanes in the occupancy tail (1179 -> 666 ms, bit-identical).
         block_rays=2048 if use_pallas else 1024,
+        ladder=4 if use_pallas else 0,
     )
 
     def frame(total_samples):
