@@ -991,13 +991,10 @@ def _kernel_multiblock(
 # (t >= eps can never beat it), not a mask.
 
 
-def _packet_bits(box_lo, box_hi, o3, inv3, tm, halves: int = 1):
-    """Slab-test all E own-boxes against one packet: box_lo/hi [3, E],
-    o3/inv3 [3, R], tm [R] -> bits [E] bool (halves=1) or [E, halves]
-    (one bit per (8,128) sub-block of the packet — per-sub-block candidate
-    lists cut phase-2 pair work ~1.75x because unions grow sub-linearly in
-    ray count, out_configs/union_visits.json).  NaN boxes (inert/pad rows)
-    propagate NaN and never hit."""
+def _ray_box_bits(box_lo, box_hi, o3, inv3, tm):
+    """Per-(box, ray) slab test: box_lo/hi [3, E], o3/inv3 [3, R], tm [R]
+    -> hit [E, R] bool.  NaN boxes (inert/pad rows) propagate NaN and
+    never hit."""
     tmin = None
     tmax_ = None
     for c in range(3):
@@ -1007,7 +1004,16 @@ def _packet_bits(box_lo, box_hi, o3, inv3, tm, halves: int = 1):
         hi_c = jnp.maximum(tn, tf)
         tmin = lo_c if tmin is None else jnp.maximum(tmin, lo_c)
         tmax_ = hi_c if tmax_ is None else jnp.minimum(tmax_, hi_c)
-    hit = (tmax_ >= tmin) & (tmin < tm[None, :]) & (tmax_ > 0.0)
+    return (tmax_ >= tmin) & (tmin < tm[None, :]) & (tmax_ > 0.0)
+
+
+def _packet_bits(box_lo, box_hi, o3, inv3, tm, halves: int = 1):
+    """Slab-test all E own-boxes against one packet: box_lo/hi [3, E],
+    o3/inv3 [3, R], tm [R] -> bits [E] bool (halves=1) or [E, halves]
+    (one bit per (8,128) sub-block of the packet — per-sub-block candidate
+    lists cut phase-2 pair work ~1.75x because unions grow sub-linearly in
+    ray count, out_configs/union_visits.json)."""
+    hit = _ray_box_bits(box_lo, box_hi, o3, inv3, tm)
     if halves == 1:
         return jnp.any(hit, axis=1)
     e_dim = hit.shape[0]
@@ -1316,6 +1322,164 @@ BITS_CAP_ROWS = 1536
 # the t-refresh re-sweep culls the tail candidates.
 BITS_REFINE_ROWS = 192
 
+# algo="bitsp": per-RAY candidate GROUP list capacity (groups of 8 leaf
+# rows).  Indoor-scene per-ray group counts: mean ~3.8, p99 ~15, max 28
+# (out_configs/perray_rows_study.json) — 16 leaves overflow at ~0.6%
+# worst-pop; overflow rays fall back to the packet-union path exactly.
+PAIR_GROUPS = 16
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "any_hit", "interpret", "capg", "cap_rows", "inert_row"))
+def _traverse_pairs_padded(ltab, box_lo, box_hi, anc,
+                           ox, oy, oz, dx, dy, dz, tm, ac,
+                           any_hit: bool, interpret: bool,
+                           capg: int, cap_rows: int, inert_row: int):
+    """algo="bitsp": per-RAY pair-list phase 2, pure XLA (no Pallas).
+
+    The union kernel charges every ray the MT math of its whole packet's
+    candidate union (~1290 rows at 2048-ray bounce packets) while the
+    per-ray EXACT candidate set averages ~4 rows (~3.8 groups,
+    out_configs/perray_rows_study.json) — a ~300x math redundancy.  This
+    path builds a per-ray list of candidate GROUPS (8 leaf rows each),
+    gathers each ray's listed rows densely ([R, capg*8] row gathers run
+    at the measured ~2G rows/s), and runs Möller–Trumbore vectorized over
+    [R, capg*8, WIDTH] with a first-win argmin — XLA fuses the whole
+    chain; there is no serialized per-visit dependence anywhere.
+
+    Exactness: a (ray, row) pair whose own-box slab test failed cannot
+    contain a qualifying hit for THAT ray (any contained intersection has
+    t inside the box's [tmin, tmax], which missed [0, t_max)) — so
+    gathering whole groups and even duplicate/padded groups is harmless
+    per ray; list order (ascending group, row, tri) is stream order, and
+    the first-win argmin reproduces the sequential strict-< replacement
+    winner.  Rays whose group count exceeds capg are resolved by the
+    packet-union path (_traverse_bits_padded with row_lists) in a second
+    pass where only overflow rays are live; dead packets there skip phase
+    1 via the existing lax.cond and the dead-packet DMA aliasing.
+    Reference analog: ray_extend.comp:26-165 + bvh.glsl:98-121 (the
+    per-ray closest-hit contract), re-shaped for the MXU/VPU cost model.
+    """
+    g, sub, _ = ox.shape
+    R = sub * LANE
+    L = anc.shape[0]
+    sizes = [L]
+    while sizes[-1] > 1:
+        sizes.append(-(-sizes[-1] // 8))
+    offs = np.concatenate([[0], np.cumsum(sizes)]).tolist()
+    L1 = sizes[1] if len(sizes) > 1 else 1
+    padL = L1 * 8 - L
+    inert_group = inert_row // 8
+
+    tmf = jnp.where(ac != 0, tm, -_FAR).reshape(g, R)
+    o3 = jnp.stack([ox, oy, oz]).reshape(3, g, R)
+    d3 = jnp.stack([dx, dy, dz]).reshape(3, g, R)
+    inv3 = jnp.float32(1.0) / d3
+
+    jcap = jnp.arange(capg, dtype=jnp.int32)
+    gids = jnp.arange(L1, dtype=jnp.int32)
+    roff = jnp.arange(8, dtype=jnp.int32)
+
+    def live(o_p, i_p, t_p, d_p):
+        hit = _ray_box_bits(box_lo, box_hi, o_p, i_p, t_p)   # [EB, R]
+        # hierarchical AND down to the leaf level (leaf-first layout);
+        # parent broadcast is a static 8x repeat, not a gather.
+        v = hit[offs[len(sizes) - 1]][None, :]               # root [1, R]
+        for k in range(len(sizes) - 2, -1, -1):
+            par = jnp.repeat(v, 8, axis=0)[: sizes[k]]
+            v = hit[offs[k]: offs[k] + sizes[k]] & par
+        visL = jnp.pad(v, ((0, padL), (0, 0))) if padL else v
+        visg = visL.reshape(L1, 8, R).any(axis=1).T          # [R, L1]
+
+        cg = jnp.cumsum(visg.astype(jnp.int32), axis=1)
+        counts_g = cg[:, -1]
+        keyg = cg - 1
+        # exact one-hot contraction (each output slot has <=1 term)
+        oh = (keyg[:, :, None] == jcap[None, None, :]) & visg[:, :, None]
+        gl = jnp.sum(oh * gids[None, :, None], axis=1,
+                     dtype=jnp.int32)                        # [R, capg]
+        gl = jnp.where(jcap[None, :] < counts_g[:, None], gl, inert_group)
+
+        rowids = (gl[:, :, None] * 8 + roff[None, None, :]).reshape(R, -1)
+        rows = jnp.take(ltab, rowids.reshape(-1), axis=0).reshape(
+            R, capg * 8, WIDTH, REC)                         # [R, rows, 8, 16]
+        f32 = jnp.float32
+
+        def fld(j):
+            return rows[..., j]
+
+        dxr = d_p[0][:, None, None]
+        dyr = d_p[1][:, None, None]
+        dzr = d_p[2][:, None, None]
+        oxr = o_p[0][:, None, None]
+        oyr = o_p[1][:, None, None]
+        ozr = o_p[2][:, None, None]
+        v0x, v0y, v0z = fld(0), fld(1), fld(2)
+        e1x, e1y, e1z = fld(3), fld(4), fld(5)
+        e2x, e2y, e2z = fld(6), fld(7), fld(8)
+        sid = jax.lax.bitcast_convert_type(fld(9), jnp.int32)
+        hx = dyr * e2z - dzr * e2y
+        hy = dzr * e2x - dxr * e2z
+        hz = dxr * e2y - dyr * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        f = f32(1.0) / a
+        sx = oxr - v0x
+        sy = oyr - v0y
+        sz = ozr - v0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        vv = f * (dxr * qx + dyr * qy + dzr * qz)
+        t = f * (e2x * qx + e2y * qy + e2z * qz)
+        ok = (
+            (jnp.abs(a) >= _EPS)
+            & (u >= 0.0) & (u <= 1.0)
+            & (vv >= 0.0) & (u + vv <= 1.0)
+            & (t >= _EPS) & (t < t_p[:, None, None])
+        )
+        tc = jnp.where(ok, t, _INF).reshape(R, -1)
+        best = jnp.argmin(tc, axis=1)                        # first-win
+        tb = jnp.take_along_axis(tc, best[:, None], axis=1)[:, 0]
+        found = tb < t_p
+
+        def pick(x, fill):
+            xb = jnp.take_along_axis(
+                x.reshape(R, -1), best[:, None], axis=1)[:, 0]
+            return jnp.where(found, xb, fill)
+
+        return (jnp.where(found, tb, t_p), pick(sid, jnp.int32(-1)),
+                pick(u, f32(0.0)), pick(vv, f32(0.0)),
+                counts_g > capg)
+
+    def body(args):
+        o_p, i_p, d_p, t_p = args
+        return jax.lax.cond(
+            jnp.any(t_p > -_FAR),
+            lambda: live(o_p, i_p, t_p, d_p),
+            lambda: (t_p, jnp.full((R,), -1, jnp.int32),
+                     jnp.zeros(R, jnp.float32), jnp.zeros(R, jnp.float32),
+                     jnp.zeros(R, bool)))
+
+    t_a, r_a, u_a, v_a, ovf = jax.lax.map(
+        body, (jnp.moveaxis(o3, 1, 0), jnp.moveaxis(inv3, 1, 0),
+               jnp.moveaxis(d3, 1, 0), tmf))
+
+    # Overflow fallback: the packet-union exact-row path with only the
+    # overflow rays live (typically none -> every packet dead -> its
+    # phase-1 cond skips and its Pallas dispatch aliases to block 0).
+    ac_ov = (ovf & (tmf > -_FAR)).reshape(g, sub, LANE).astype(jnp.int32)
+    t_f, r_f, u_f, v_f = _traverse_bits_padded(
+        ltab, box_lo, box_hi, anc, ox, oy, oz, dx, dy, dz, tm, ac_ov,
+        any_hit, interpret, cap_rows, inert_row, row_lists=True)
+
+    ovf3 = ovf.reshape(g, sub, LANE)
+
+    def sel(fb, pr):
+        return jnp.where(ovf3, fb, pr.reshape(g, sub, LANE))
+
+    return (sel(t_f, t_a), sel(r_f, r_a), sel(u_f, u_a), sel(v_f, v_a))
+
 
 @functools.partial(jax.jit, static_argnames=(
     "any_hit", "interpret", "cap_rows", "inert_row", "sub_lists",
@@ -1621,6 +1785,7 @@ def traverse_wide(
     block_rays: int = BLOCK,
     cap_rows: int = 0,
     refine_rows: int = 0,
+    pair_groups: int = 0,
 ) -> Hit:
     """Drop-in replacement for accel.traverse.traverse / traverse_pallas;
     hit.prim is the leaf-order triangle slot (map through scene.perm for
@@ -1659,19 +1824,43 @@ def traverse_wide(
         #   w = Baldwin–Weber rows              r = exact row lists
         #   h = bf16 leaf math (measured LOSS)  i = ILP min-tree merge
         flags = set(algo[4:])
-        assert flags <= set("28whri"), f"unknown algo {algo}"
+        assert flags <= set("28whrip"), f"unknown algo {algo}"
         use_bf16 = "h" in flags
         use_bw = "w" in flags
         row_lists = "r" in flags
         ilp = "i" in flags
         refine = "2" in flags
         sub_l = "8" in flags
+        pairs = "p" in flags
         assert not (row_lists and (refine or sub_l)), \
             "row lists are packet-wide (no sub-lists / t-refresh)"
+        assert not (pairs and (flags - {"p"})), \
+            "bitsp composes with no other flag (its fallback is bitsr)"
         assert wt.ltab is not None, \
             "WideTrace lacks a LeafTable (rebuild via device_wide_trace)"
         assert not (use_bw and wt.ltabw is None), \
             "WideTrace lacks a Baldwin–Weber table (rebuild the scene)"
+        if pairs:
+            t_o, r_o, u_o, v_o = _traverse_pairs_padded(
+                wt.ltab, wt.box_lo, wt.box_hi, wt.anc,
+                prep(origin[:, 0]), prep(origin[:, 1]), prep(origin[:, 2]),
+                prep(direction[:, 0], 1), prep(direction[:, 1], 1),
+                prep(direction[:, 2], 1),
+                prep(t_max.astype(jnp.float32)),
+                prep(active.astype(jnp.int32)),
+                any_hit, interpret, pair_groups or PAIR_GROUPS,
+                cap_rows or BITS_CAP_ROWS, int(wt.inert_row),
+            )
+
+            def unprep(x):
+                return x.reshape(n_pad)[:n]
+
+            return Hit(
+                prim=jnp.where(active, unprep(r_o), -1),
+                t=unprep(t_o),
+                u=unprep(u_o),
+                v=unprep(v_o),
+            )
         t_o, r_o, u_o, v_o = _traverse_bits_padded(
             wt.ltabw if use_bw else wt.ltab,
             wt.box_lo, wt.box_hi, wt.anc,

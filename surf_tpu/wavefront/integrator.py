@@ -76,6 +76,8 @@ class RenderConfig(NamedTuple):
     block_rays: int = 1024          # rays per packet walk (pallas_wide)
     cap_rows: int = 0               # bits candidate-list capacity override
                                     # (0 = pallas_wide.BITS_CAP_ROWS)
+    pair_groups: int = 0            # bitsp per-ray group-list capacity
+                                    # (0 = pallas_wide.PAIR_GROUPS)
     defer_drain: int = 64           # wave cap for the deferred-pool
                                     # continuation (deeper than wave_limit:
                                     # the pool runs ONCE per frame at pooled
@@ -243,7 +245,7 @@ def _dispatch_traverse(cfg: RenderConfig, trace, origin, direction, t_max,
                 origin, direction, t_max, active,
                 any_hit=any_hit, interpret=cfg.pallas_interpret,
                 algo=cfg.algo, block_rays=cfg.block_rays,
-                cap_rows=cfg.cap_rows,
+                cap_rows=cfg.cap_rows, pair_groups=cfg.pair_groups,
             )
         from ..accel.pallas_traverse import traverse_pallas
 

@@ -183,6 +183,42 @@ def test_bits_flag_combos(box):
             assert agree.mean() >= 0.999, algo
 
 
+def test_bitsp_matches_bits(indoor):
+    """algo="bitsp" (per-ray pair lists, pure XLA) vs "bits": prim and t
+    are bit-identical (stream-order first-win argmin = the sequential
+    strict-< winner; pruned pairs provably hitless); u/v may differ at
+    FMA-contraction ulps (the integrator re-intersects the winner in f32
+    regardless).  pair_groups=2 forces heavy overflow so the packet-union
+    fallback path is exercised — results must stay identical."""
+    n = 2048 + 301  # exercise packet padding
+    o, d = _rays(n, seed=11, span=3.0)
+    tmax = jnp.full(n, 1e30, jnp.float32)
+    act = np.ones(n, bool)
+    act[::13] = False
+    h0 = traverse_wide(_wt(indoor), o, d, tmax, jnp.asarray(act),
+                       False, interpret=True, algo="bits")
+    for capg in (0, 2):  # default, and tiny -> overflow fallback
+        h1 = traverse_wide(_wt(indoor), o, d, tmax, jnp.asarray(act),
+                           False, interpret=True, algo="bitsp",
+                           pair_groups=capg)
+        assert np.array_equal(np.asarray(h0.prim), np.asarray(h1.prim)), capg
+        assert np.array_equal(np.asarray(h0.t), np.asarray(h1.t)), capg
+        both = np.asarray(h0.prim) >= 0
+        assert np.allclose(np.asarray(h0.u)[both], np.asarray(h1.u)[both],
+                           atol=1e-5), capg
+        assert np.allclose(np.asarray(h0.v)[both], np.asarray(h1.v)[both],
+                           atol=1e-5), capg
+    # finite-range inactive/shadow-like t_max parity
+    tmix = np.full(n, 1e30, np.float32)
+    tmix[::3] = 4.0
+    h2 = traverse_wide(_wt(indoor), o, d, jnp.asarray(tmix),
+                       jnp.asarray(act), False, interpret=True, algo="bits")
+    h3 = traverse_wide(_wt(indoor), o, d, jnp.asarray(tmix),
+                       jnp.asarray(act), False, interpret=True, algo="bitsp")
+    assert np.array_equal(np.asarray(h2.prim), np.asarray(h3.prim))
+    assert np.array_equal(np.asarray(h2.t), np.asarray(h3.t))
+
+
 def test_bitsw_matches_bits(indoor):
     """algo="bitsw" (Baldwin–Weber precomputed rows) must agree with
     "bits" (Möller–Trumbore) everywhere except float-tie winner flips:
