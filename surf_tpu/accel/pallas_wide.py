@@ -31,6 +31,7 @@ strictly-closer hit replacement in stream order.
 from __future__ import annotations
 
 import functools
+import re
 from typing import NamedTuple
 
 import jax
@@ -1483,14 +1484,15 @@ def _traverse_pairs_padded(ltab, box_lo, box_hi, anc,
 
 @functools.partial(jax.jit, static_argnames=(
     "any_hit", "interpret", "cap_rows", "inert_row", "sub_lists",
-    "refine_rows", "use_bf16", "use_bw", "row_lists", "ilp"))
+    "refine_rows", "use_bf16", "use_bw", "row_lists", "ilp", "unroll"))
 def _traverse_bits_padded(ltab, box_lo, box_hi, anc,
                           ox, oy, oz, dx, dy, dz, tm, ac,
                           any_hit: bool, interpret: bool,
                           cap_rows: int, inert_row: int,
                           sub_lists: bool = False, refine_rows: int = 0,
                           use_bf16: bool = False, use_bw: bool = False,
-                          row_lists: bool = False, ilp: bool = False):
+                          row_lists: bool = False, ilp: bool = False,
+                          unroll: int = 1):
     g, sub, _ = ox.shape
     R = sub * LANE
     E = ltab.shape[0]
@@ -1622,8 +1624,15 @@ def _traverse_bits_padded(ltab, box_lo, box_hi, anc,
         lst = jax.lax.map(one_list, (vis, keyr, counts))      # [gH, cap]
         rows3d = jnp.take(ltab, lst.reshape(-1), axis=0).reshape(
             gH, cap, LANE)
-        trip_cap, rows_step = cap, 1
-        overflow = counts > cap
+        # unroll > 1 processes `unroll` rows per dynamic-trip iteration:
+        # the data-dependent fori lowers to a while loop whose condition
+        # check serializes the pipeline per ITERATION, so fewer, fatter
+        # iterations amortize it.  The tail rows past `counts` in the last
+        # iteration are inert_row padding (one_list pads) — exact.
+        assert cap % unroll == 0
+        trip_cap, rows_step = cap // unroll, unroll
+        counts = -(-counts // unroll)         # rows -> trips
+        overflow = counts > trip_cap
     else:
         counts, key, rows3d = compact_groups(group_any(vis))
         trip_cap, rows_step = cap8, LEAF_TRIS
@@ -1823,8 +1832,17 @@ def traverse_wide(
         #   2 = t-refresh refinement round      8 = per-(8,128) sub-lists
         #   w = Baldwin–Weber rows              r = exact row lists
         #   h = bf16 leaf math (measured LOSS)  i = ILP min-tree merge
-        flags = set(algo[4:])
+        #   uN = N rows per phase-2 loop iteration (row lists only)
+        flag_str = algo[4:]
+        unroll = 1
+        um = re.search(r"u(\d+)", flag_str)
+        if um:
+            unroll = int(um.group(1))
+            flag_str = flag_str.replace(um.group(0), "")
+        flags = set(flag_str)
         assert flags <= set("28whrip"), f"unknown algo {algo}"
+        assert unroll in (1, 2, 4, 8) and (unroll == 1 or "r" in flags), \
+            "uN unroll needs exact row lists (r) and N in {1,2,4,8}"
         use_bf16 = "h" in flags
         use_bw = "w" in flags
         row_lists = "r" in flags
@@ -1872,6 +1890,7 @@ def traverse_wide(
             int(wt.inert_row), sub_lists=sub_l,
             refine_rows=(refine_rows or BITS_REFINE_ROWS) if refine else 0,
             use_bf16=use_bf16, use_bw=use_bw, row_lists=row_lists, ilp=ilp,
+            unroll=unroll,
         )
 
         def unprep(x):

@@ -65,14 +65,18 @@ class RenderConfig(NamedTuple):
     use_pallas: bool = False        # Pallas packet-traversal kernels (TPU)
     use_wide: bool = True           # 8-wide stream kernel (vs binary records)
     pallas_interpret: bool = False  # interpreter mode (CPU testing)
-    algo: str = "bitsr"             # wide-kernel walk algorithm (pallas_wide):
+    algo: str = "bitsru8"           # wide-kernel walk algorithm (pallas_wide):
                                     # "bits" (chain-free three-phase) is the
                                     # measured frame-level winner on v5e
                                     # (1.6x over the "skip" walk); the "r"
                                     # flag (exact row lists via one-hot
                                     # contraction) is a further bit-identical
                                     # 1.20x (1180 vs 1421 ms, 256^2@4spp
-                                    # device A/B 2026-08-20)
+                                    # device A/B 2026-08-20); "u8" (8 rows
+                                    # per phase-2 loop iteration, amortizing
+                                    # the ~350 ns dynamic-trip drain) another
+                                    # bit-identical 1.14x (673 -> 589 ms with
+                                    # ladder=4, device A/B 2026-08-20)
     block_rays: int = 1024          # rays per packet walk (pallas_wide)
     cap_rows: int = 0               # bits candidate-list capacity override
                                     # (0 = pallas_wide.BITS_CAP_ROWS)

@@ -172,11 +172,15 @@ def test_bits_flag_combos(box):
     h0 = traverse_wide(_wt(box), o, d, tmax, act, False, interpret=True,
                        algo="bits")
     for algo, exact in (("bitsi", True), ("bitsr", True), ("bitsri", True),
+                        ("bitsru4", True), ("bitsru8", True),
                         ("bitswi", False), ("bitswri", False)):
         h1 = traverse_wide(_wt(box), o, d, tmax, act, False,
                            interpret=True, algo=algo)
         agree = np.asarray(h0.prim) == np.asarray(h1.prim)
         if exact:
+            # uN trailing inert-row padding is provably hitless, so the
+            # winner and t are identical; u/v may move at FMA-contraction
+            # ulps (the unrolled loop body fuses differently).
             assert agree.all(), algo
             assert np.array_equal(np.asarray(h0.t), np.asarray(h1.t)), algo
         else:
