@@ -1612,14 +1612,25 @@ def _traverse_bits_padded(ltab, box_lo, box_hi, anc,
 
         def one_list(args):
             visp, keyp, cntp = args
-            oh = ((keyp[:, None] == karange[None, :])
-                  & visp[:, None]).astype(jnp.bfloat16)       # [L, cap]
-            out = jax.lax.dot_general(
-                rhs, oh, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)           # [2, cap]
-            lstp = (out[0] * 64 + out[1]).astype(jnp.int32)
-            return jnp.where(karange < jnp.minimum(cntp, cap),
-                             lstp, inert_row)
+
+            def live():
+                oh = ((keyp[:, None] == karange[None, :])
+                      & visp[:, None]).astype(jnp.bfloat16)   # [L, cap]
+                out = jax.lax.dot_general(
+                    rhs, oh, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)       # [2, cap]
+                lstp = (out[0] * 64 + out[1]).astype(jnp.int32)
+                return jnp.where(karange < jnp.minimum(cntp, cap),
+                                 lstp, inert_row)
+
+            # Dead packets (compacted tail waves / ladder remainders) have
+            # all-zero bits -> counts == 0; lax.map lowers to scan so the
+            # cond is a REAL branch, killing the [L, cap] one-hot + matvec
+            # that otherwise ran full-width EVERY wave (~32 ms/wave floor
+            # at 256^2 regardless of occupancy, scripts/tpu_wave_profile).
+            return jax.lax.cond(
+                cntp > 0, live,
+                lambda: jnp.full((cap,), inert_row, jnp.int32))
 
         lst = jax.lax.map(one_list, (vis, keyr, counts))      # [gH, cap]
         rows3d = jnp.take(ltab, lst.reshape(-1), axis=0).reshape(
@@ -1841,8 +1852,8 @@ def traverse_wide(
             flag_str = flag_str.replace(um.group(0), "")
         flags = set(flag_str)
         assert flags <= set("28whrip"), f"unknown algo {algo}"
-        assert unroll in (1, 2, 4, 8) and (unroll == 1 or "r" in flags), \
-            "uN unroll needs exact row lists (r) and N in {1,2,4,8}"
+        assert unroll in (1, 2, 4, 8, 16) and (unroll == 1 or "r" in flags), \
+            "uN unroll needs exact row lists (r) and N in {1,2,4,8,16}"
         use_bf16 = "h" in flags
         use_bw = "w" in flags
         row_lists = "r" in flags
