@@ -62,12 +62,17 @@ def _render(host, cam_params, width, height, spp, max_bounces, compact=False,
     from surf_tpu.wavefront.integrator import initial_seeds, render_frame_seeded
 
     use_pallas = jax.default_backend() != "cpu"
+    # Bench-shaped wave loop (bench.py): unbounded while_loop with a wave
+    # cap + width ladder — identical estimator to a fori over max_bounces
+    # (dead lanes are masked) but exits when every path terminates.
     cfg = RenderConfig.for_scene(
         host.static, width, height, spp_chunk, use_defocus=True,
         use_pallas=use_pallas,
-    )._replace(max_bounces=max_bounces, compact=compact,
+    )._replace(max_bounces=None if use_pallas else max_bounces,
+               wave_limit=max_bounces, compact=compact or use_pallas,
                algo=ALGO if use_pallas else "skip",
-               block_rays=2048 if use_pallas else 1024)
+               block_rays=2048 if use_pallas else 1024,
+               ladder=4 if use_pallas else 0)
     scene = jax.device_put(host.render_scene)
     seed = initial_seeds(cfg, jnp.uint32(total_samples))
     acc = None
@@ -120,6 +125,7 @@ def config2(scale):
     w = h = max(64, int(512 * scale))
     spp = max(1, int(16 * scale))
     host, cam, cp = _setup(w, h)
+    _render(host, cp, w, h, spp, max_bounces=48)  # compile + warm
     t0 = time.time()
     img = _render(host, cp, w, h, spp, max_bounces=48)
     dt = time.time() - t0
