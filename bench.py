@@ -62,7 +62,10 @@ def run_bench(width, height, spp, max_bounces, use_pallas, frames=3,
         # shrink); compaction cadence 4; width-ladder 4 rungs retires dead
         # lanes in the occupancy tail (1179 -> 666 ms, bit-identical).
         block_rays=2048 if use_pallas else 1024,
-        ladder=4 if use_pallas else 0,
+        # /2-factor ladder shrinks dispatch width from ~50% occupancy on
+        # (waves 3-8 carry most width-proportional cost): 580 -> 559 ms
+        # at 256^2@4spp, bit-identical (scripts/tpu_ladder_ab.py).
+        ladder=6 if use_pallas else 0, ladder_shrink=2,
     )
 
     def frame(total_samples):

@@ -89,10 +89,11 @@ class RenderConfig(NamedTuple):
                                     # cheap and keeps inflow < outflow)
     compact: bool = False           # partition live paths to the front
     ladder: int = 0                 # width-ladder steps: after live count
-                                    # drops below 1/4 width, retire dead
-                                    # lanes and continue the wave loop at
-                                    # 1/4 the dispatch width (repeated;
-                                    # forward unbounded mode only)
+                                    # drops below 1/shrink width, retire
+                                    # dead lanes and continue the wave loop
+                                    # at 1/shrink the dispatch width
+                                    # (repeated; forward unbounded mode)
+    ladder_shrink: int = 4          # ladder width divisor per rung
     compact_every: int = 4          # ... on every k-th wave (cumsum+scatter
                                     # cost scales with lane count; 512^2
                                     # cadence A/B measured every-4th best:
@@ -609,7 +610,7 @@ def _bounce_loop_ladder(scene: RenderScene, cfg: RenderConfig,
     widths = []
     m = n
     for _ in range(cfg.ladder):
-        m //= 4
+        m //= cfg.ladder_shrink
         if m >= 1024:  # no narrower than one (8,128) traversal block
             widths.append(m)
 
