@@ -45,25 +45,29 @@ def main():
                 wt, o_, d_, t_, a_, any_hit=False, algo=g,
                 block_rays=2048))
 
-    def run(f, args, n_rays, label):
-        outs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            r = f(*args)
-            jax.tree.map(lambda x: np.asarray(x), r)
-            outs.append(time.perf_counter() - t0)
-        ms = min(outs) * 1e3
-        print(f"  {label} @ {n_rays}: {ms:9.2f} ms", flush=True)
-        return ms
+    def run_once(f, args):
+        t0 = time.perf_counter()
+        r = f(*args)
+        jax.tree.map(lambda x: np.asarray(x), r)
+        return time.perf_counter() - t0
 
     ms = {k: {} for k in fns}
     ref = {}
     for sz in SIZES:
         targs = (jnp.asarray(o[:sz]), jnp.asarray(d[:sz]),
                  jnp.asarray(tm[:sz]), jnp.ones(sz, bool))
-        # interleave variants within a round (idle-ACK trap, CLAUDE.md)
-        for label, f in fns.items():
-            ms[label][sz] = run(f, targs, sz, label)
+        # Rounds OUTSIDE, variants INSIDE (ADVICE r3): each variant's min
+        # is drawn from interleaved rounds so the first-after-idle /
+        # coherent-swing traps (CLAUDE.md) hit all variants equally.
+        for f in fns.values():  # warm compile for every variant first
+            run_once(f, targs)
+        raw = {label: [] for label in fns}
+        for _ in range(3):
+            for label, f in fns.items():
+                raw[label].append(run_once(f, targs))
+        for label in fns:
+            ms[label][sz] = min(raw[label]) * 1e3
+            print(f"  {label} @ {sz}: {ms[label][sz]:9.2f} ms", flush=True)
         h0 = jax.tree.map(np.asarray, fns["bitsr"](*targs))
         for label in ALGOS[1:]:
             h = jax.tree.map(np.asarray, fns[label](*targs))

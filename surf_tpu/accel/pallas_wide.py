@@ -1846,10 +1846,15 @@ def traverse_wide(
         #   uN = N rows per phase-2 loop iteration (row lists only)
         flag_str = algo[4:]
         unroll = 1
-        um = re.search(r"u(\d+)", flag_str)
+        # Anchored uN parse (ADVICE r3): N must be one of the valid unroll
+        # factors and must not be followed by another digit, so e.g.
+        # "bitsru28" fails the flag assert below instead of parsing as
+        # unroll=28 or silently eating unrelated characters.  Only the
+        # matched span is removed.
+        um = re.search(r"u(16|1|2|4|8)(?!\d)", flag_str)
         if um:
             unroll = int(um.group(1))
-            flag_str = flag_str.replace(um.group(0), "")
+            flag_str = flag_str[:um.start()] + flag_str[um.end():]
         flags = set(flag_str)
         assert flags <= set("28whrip"), f"unknown algo {algo}"
         assert unroll in (1, 2, 4, 8, 16) and (unroll == 1 or "r" in flags), \

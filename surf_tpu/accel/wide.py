@@ -476,6 +476,47 @@ def compute_own_boxes(stream, rec_slot, n_entries):
     return lo, hi
 
 
+def pad_wide_stream(ws: WideStream, target_rows: int) -> WideStream:
+    """Pad a built stream to a fixed row capacity so per-frame SAH rebuilds
+    keep a stable jit signature (VERDICT r3 item 4: a rebuild that changes
+    padded shapes forces recompilation every animated frame).
+
+    Padding rows are inert NODE rows: every slot box is NaN (fails every
+    slab comparison, the same convention as empty child slots) and the
+    skip link jumps to ``target_rows``, so a walk that lands anywhere in
+    the pad region pays exactly ONE visit and exits — unlike inert leaf
+    rows, which advance one row per visit.  The bits path never reads the
+    pad region at all (its phase arrays come from the LeafTable, whose
+    shape depends only on the triangle count)."""
+    e0 = ws.stream.shape[0]
+    if target_rows <= e0:
+        return ws
+    add = target_rows - e0
+    rows = np.full((add, LANE), np.nan, np.float32)
+    meta = np.array([0, target_rows], np.int32).view(np.float32)
+    rows[:, IS_LEAF_LANE:SKIP_LANE + 1] = meta
+    out = dict(
+        stream=np.concatenate([ws.stream, rows]),
+        rec_slot=np.concatenate(
+            [ws.rec_slot, np.full(add * LEAF_TRIS, -1, np.int32)]),
+    )
+    for name, fill in (("slot_kind", 0), ("slot_a", 0), ("slot_b", 0)):
+        arr = getattr(ws, name)
+        if arr is not None:
+            pad = np.full((add,) + arr.shape[1:], fill, arr.dtype)
+            out[name] = np.concatenate([arr, pad])
+    for name in ("box_lo", "box_hi"):
+        arr = getattr(ws, name)
+        if arr is not None:
+            pad = np.full((add,) + arr.shape[1:], np.nan, arr.dtype)
+            out[name] = np.concatenate([arr, pad])
+    if ws.anc is not None:
+        pad = np.repeat(np.arange(e0, target_rows, dtype=np.int32)
+                        [:, None], ws.anc.shape[1], axis=1)
+        out["anc"] = np.concatenate([ws.anc, pad])
+    return ws._replace(**out)
+
+
 def refit_wide_stream(ws: WideStream, bvh: BVH,
                       tri_v0, tri_v1, tri_v2) -> WideStream:
     """Topology-preserving refit of an existing stream after vertex motion:

@@ -30,7 +30,7 @@ import numpy as np
 
 from ..accel import builder
 from ..accel.wide import (build_leaf_table, build_wide_stream,
-                          refit_wide_stream)
+                          pad_wide_stream, refit_wide_stream)
 from ..accel.traverse import (
     TraceArrays,
     build_skiplinks,
@@ -144,8 +144,31 @@ class HostCompiled:
         self.tri_inst = np.repeat(
             np.arange(len(scene.instances), dtype=np.int32), self.inst_tri_count
         )
+        self._caps: dict[str, int] = {}
         self._rebuild_bvh()
         self._seen_version = scene.version
+
+    def _cap(self, name: str, n: int, quantum: int = 1024) -> int:
+        """Sticky capacity class for a topology-dependent array dimension:
+        rounds n (+12.5% headroom) up to a quantum on first use and keeps
+        that capacity until exceeded, so per-frame SAH rebuilds produce
+        identically-shaped device arrays and the jitted render re-uses its
+        compiled executable (VERDICT r3 item 4)."""
+        c = self._caps.get(name, 0)
+        if n > c:
+            c = -(-int(n * 1.125 + 1) // quantum) * quantum
+            self._caps[name] = c
+        return c
+
+    def _pad_node_boxes(self, boxes):
+        """Pad skip-link boxes to the sticky node capacity with NaN rows
+        (NaN fails every slab comparison — never hit)."""
+        d_cap = self._cap("nodes", len(boxes))
+        if len(boxes) == d_cap:
+            return boxes
+        out = np.full((d_cap, 6), np.nan, np.float32)
+        out[:len(boxes)] = boxes
+        return out
 
     def _rebuild_bvh(self):
         self.bvh = builder.build_blas(
@@ -174,11 +197,21 @@ class HostCompiled:
             # place, and the device scene is updated with ._replace so
             # unchanged arrays (materials, UVs, rec_slot, meta) keep
             # their device buffers instead of re-uploading.
-            boxes = skiplink_boxes(self.bvh, self._skip_order)
+            boxes = self._pad_node_boxes(
+                skiplink_boxes(self.bvh, self._skip_order))
             meta = self._skip_meta
         else:
             boxes, meta, self._skip_order = build_skiplinks(
                 self.bvh, return_order=True)
+            # Capacity padding: NaN boxes never hit; pad meta is a
+            # non-leaf whose skip jumps straight to the padded end, so a
+            # lane that reaches the pad region pays one visit and exits.
+            d_cap = self._cap("nodes", len(meta))
+            boxes = self._pad_node_boxes(boxes)
+            meta_pad = np.zeros((d_cap, 3), np.int32)
+            meta_pad[:, 2] = d_cap
+            meta_pad[:len(meta)] = meta
+            meta = meta_pad
             self._skip_meta = meta
         tv0 = self.samp_v0[perm]
         tv1 = self.samp_v1[perm]
@@ -188,6 +221,8 @@ class HostCompiled:
             ws = refit_wide_stream(self._ws, self.bvh, tv0, tv1, tv2)
         else:
             ws = build_wide_stream(self.bvh, tv0, tv1, tv2)
+            ws = pad_wide_stream(
+                ws, self._cap("stream_rows", ws.stream.shape[0]))
         self._ws = ws
         # Dense leaf table for algo="bits" (rebuilt whole — pure
         # vectorized packing, a few ms; topology-static parts (rec_slot,
@@ -279,8 +314,12 @@ class HostCompiled:
             bg_gradient_a=j(bg.gradient_a),
             bg_gradient_b=j(bg.gradient_b),
         )
+        # stack_depth is a jit-static; round it up to a sticky multiple of
+        # 8 so per-frame rebuilds (whose tree depth wobbles by a level or
+        # two) keep an identical RenderConfig and reuse the executable.
         self.static = SceneStatic(
-            stack_depth=bvh_max_depth(self.bvh) + 2,
+            stack_depth=self._cap(
+                "stack_depth", bvh_max_depth(self.bvh) + 2, quantum=8),
             num_lights=len(self.scene.light_indices),
             tri_count=int(len(self.samp_v0)),
         )

@@ -566,10 +566,12 @@ def _bounce_loop(scene: RenderScene, cfg: RenderConfig, state: PathState
 
 def _bounce_loop_ladder(scene: RenderScene, cfg: RenderConfig,
                         state: PathState):
-    """Width-ladder wave loop: run at full lane width only while >1/4 of
-    lanes are alive, then stable-compact, retire the dead suffix, and
-    continue the loop on the live prefix at 1/4 the width (repeated
-    cfg.ladder times).  Occupancy decays to <1% by wave ~20 on the indoor
+    """Width-ladder wave loop: run at full lane width only while more than
+    1/cfg.ladder_shrink of lanes are alive, then stable-compact, retire
+    the dead suffix, and continue the loop on the live prefix at
+    1/cfg.ladder_shrink the width (repeated cfg.ladder times, so rung k
+    runs at width n/ladder_shrink**k).  Occupancy decays to <1% by wave
+    ~20 on the indoor
     scene while every width-proportional per-wave cost (shade, NEE,
     RNG, compaction, phase-1 scan) still pays full lane width — the
     ladder is the TPU-native stand-in for the reference's shrinking
@@ -581,6 +583,8 @@ def _bounce_loop_ladder(scene: RenderScene, cfg: RenderConfig,
     stream; only the set of lanes co-resident in a dispatch changes.
     Returns (seed, energy) in PIXEL order — each lane scatters home
     exactly once across the retirement banks."""
+    assert cfg.ladder_shrink >= 2, \
+        "ladder_shrink=1 makes every rung a no-op (m //= 1)"
     n = state.seed.shape[0]
 
     def wave(i, s):
