@@ -153,6 +153,53 @@ def main():
               f"mixed-coherence single-pass)", flush=True)
         results["algos"][algo] = rec
 
+    # ---- full frame path (VERDICT r3 item 7): the EXACT bench config
+    # (bitsru8, block 2048, ce4, ladder6/shrink2) vs the plain
+    # ladder=0/compact-off loop on one 128^2 frame — every per-lane op
+    # sequence is identical by design (compaction/ladder only change
+    # which lanes are co-resident in a dispatch; the bits traversal is
+    # per-ray exact), so the images must agree BIT-FOR-BIT.
+    from surf_tpu.wavefront.integrator import render_frame_seeded
+
+    Wf = Hf = 128
+    sppf = 4
+    cpf = CameraParams.from_camera(builtin.make_indoor_camera(Wf, Hf))
+    scene_dev = jax.device_put(host.render_scene)
+
+    def frame(cfgf):
+        seed = initial_seeds(cfgf, jnp.uint32(0))
+        acc = None
+        for _ in range(sppf):
+            part, seed = render_frame_seeded(scene_dev, cfgf, cpf, seed)
+            acc = part if acc is None else acc + part
+        return np.asarray(jax.block_until_ready(acc))
+
+    base_cfg = RenderConfig.for_scene(
+        host.static, Wf, Hf, 1, use_defocus=True, use_pallas=True,
+    )._replace(max_bounces=None, wave_limit=32, algo="bitsru8",
+               block_rays=2048)
+    bench_cfg = base_cfg._replace(compact=True, compact_every=4,
+                                  ladder=6, ladder_shrink=2)
+    plain_cfg = base_cfg._replace(compact=False, ladder=0)
+    print("frame_path: bench config...", flush=True)
+    img_bench = frame(bench_cfg)
+    print("frame_path: plain config...", flush=True)
+    img_plain = frame(plain_cfg)
+    rel_l1 = float(np.abs(img_bench - img_plain).sum()
+                   / max(float(np.abs(img_plain).sum()), 1e-9))
+    bit_ident = bool(np.array_equal(img_bench, img_plain))
+    frame_ok = bit_ident or rel_l1 == 0.0
+    results["frame_path"] = {
+        "width": Wf, "height": Hf, "spp": sppf,
+        "bench": "bitsru8:2048:ce4:ladder6/2:compact",
+        "plain": "bitsru8:2048:nocompact:ladder0",
+        "rel_l1": rel_l1, "bit_identical": bit_ident,
+        "energy": float(img_bench.sum()) / sppf, "ok": frame_ok,
+    }
+    ok_all &= frame_ok
+    print(f"frame_path: relL1={rel_l1:.2e} bit_identical={bit_ident} "
+          f"-> {'OK' if frame_ok else 'FAIL'}", flush=True)
+
     results["ok"] = bool(ok_all)
     with open("out_configs/device_validate.json", "w") as f:
         json.dump(results, f, indent=2)

@@ -196,10 +196,27 @@ def config3(scale):
         use_pallas=jax.default_backend() != "cpu",
     )._replace(max_bounces=12)
     targets = DiffTargets.from_scene(host.render_scene, cp)
-    t0 = time.time()
+    # Backward/forward ratio (BASELINE secondary metric): time the
+    # forward-only loss and the value_and_grad step separately, after
+    # compiling both (min of 2 so the measurement excludes compile).
+    loss_fn = jax.jit(lambda: image_loss(
+        host.render_scene, cfg, targets, jnp.uint32(0)))
+    jax.block_until_ready(loss_fn())
+    t_fwd = 1e30
+    for _ in range(2):
+        t0 = time.time()
+        jax.block_until_ready(loss_fn())
+        t_fwd = min(t_fwd, time.time() - t0)
     loss, grads = grad_image_loss(host.render_scene, cfg, targets, jnp.uint32(0))
     jax.block_until_ready(grads)
-    t_grad = time.time() - t0
+    t_grad = 1e30
+    for _ in range(2):
+        t0 = time.time()
+        loss, grads = grad_image_loss(
+            host.render_scene, cfg, targets, jnp.uint32(0))
+        jax.block_until_ready(grads)
+        t_grad = min(t_grad, time.time() - t0)
+    t_bwd = max(t_grad - t_fwd, 0.0)  # value_and_grad = fwd + bwd
 
     f = jax.jit(lambda a: image_loss(
         host.render_scene, cfg, targets._replace(albedo=a), jnp.uint32(0)))
@@ -213,12 +230,14 @@ def config3(scale):
     rel = abs(fd - ad) / (abs(ad) + 1e-8)
     ok = rel < 0.1
     cam_g = float(jnp.linalg.norm(grads.camera.position))
+    ratio = t_bwd / max(t_fwd, 1e-9)
     print(f"config3 [{w}x{h}]: {'PASS' if ok else 'FAIL'} "
           f"albedo FD={fd:.5f} AD={ad:.5f} rel={rel:.4f} "
           f"|camera grad|={cam_g:.2e} "
-          f"grad_time={t_grad:.1f}s")
+          f"fwd={t_fwd:.2f}s grad={t_grad:.2f}s bwd/fwd={ratio:.2f}")
     _artifact(3, ok=ok, width=w, height=h, albedo_fd=fd, albedo_ad=ad,
-              rel_err=rel, camera_grad_norm=cam_g, grad_time_s=t_grad)
+              rel_err=rel, camera_grad_norm=cam_g, grad_time_s=t_grad,
+              forward_s=t_fwd, backward_s=t_bwd, bwd_fwd_ratio=ratio)
     return ok
 
 
@@ -251,39 +270,77 @@ def config4(scale):
 
 
 def config5(scale):
-    """Sharded render + gradient all-reduce + scaling sweep."""
+    """Sharded render + gradient all-reduce + WEAK-scaling sweep.
+
+    Weak scaling (VERDICT r3 item 5): lanes per device held constant (the
+    image grows with the device count), so flat per-frame times == linear
+    scaling.  The old fixed-total-work sweep at 64^2 on the virtual CPU
+    mesh measured dispatch overhead, not scaling, and recorded numbers
+    that read as anti-scaling.  Partitioning evidence comes from the
+    compiled HLO itself (grad_step_compiled): num_partitions, a gradient
+    all-reduce, and lane shards of size N/devices."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from surf_tpu.diff import DiffTargets
-    from surf_tpu.dist import grad_step_sharded, make_mesh, scaling_sweep
+    from surf_tpu.dist import (grad_step_compiled, grad_step_sharded,
+                               make_mesh, make_mesh_2d, weak_scaling_sweep)
+    from surf_tpu.scene import builtin
+    from surf_tpu.scene.camera import CameraParams
     from surf_tpu.wavefront import RenderConfig
 
     n_dev = len(jax.devices())
-    w = h = max(32, int(256 * scale))
-    host, cam, cp = _setup(w, h, "box")
-    cfg = RenderConfig.for_scene(
-        host.static, w, h, 1, use_defocus=True,
-        use_pallas=jax.default_backend() != "cpu",
-    )._replace(max_bounces=12)
-    counts = [c for c in (1, 2, 4, 8, n_dev) if c <= n_dev]
-    res = scaling_sweep(host.render_scene, cfg, cp, sorted(set(counts)))
-    base = res[min(res)]
+    w = max(64, int(256 * scale))
+    lanes_per_dev = w * max(32, int(128 * scale))
+    host, cam, cp = _setup(w, 32, "box")
+    use_pallas = jax.default_backend() != "cpu"
+
+    def make_cfg(nd):
+        hgt = lanes_per_dev * nd // w
+        return RenderConfig.for_scene(
+            host.static, w, hgt, 1, use_defocus=True,
+            use_pallas=use_pallas,
+        )._replace(max_bounces=12)
+
+    def cam_for(cfg):
+        c = builtin.make_indoor_camera(cfg.width, cfg.height)
+        return CameraParams.from_camera(c)
+
+    counts = sorted({c for c in (1, 2, 4, 8, n_dev) if c <= n_dev})
+    res = weak_scaling_sweep(make_cfg, host.render_scene, cam_for, counts)
+    t1 = res[min(res)][0]
     effs = {}
-    for nd, t in sorted(res.items()):
-        effs[nd] = base / (t * nd / min(res))
-        print(f"  {nd} chips: {t*1e3:.0f} ms/frame scaling_eff={effs[nd]:.2f}")
-    targets = DiffTargets.from_scene(host.render_scene, cp)
+    for nd, (t, lpd) in sorted(res.items()):
+        effs[nd] = t1 / t  # weak scaling: flat time == efficiency 1.0
+        print(f"  {nd} devices: {t*1e3:.0f} ms/frame "
+              f"({lpd} lanes/dev) weak_eff={effs[nd]:.2f}")
+    flat = all(e > 0.8 for e in effs.values())
+
+    # Partitioned-HLO evidence on the 2-D ('hosts','chips') mesh.
+    cfgg = make_cfg(n_dev)._replace(width=64, height=64, max_bounces=8)
+    targets = DiffTargets.from_scene(host.render_scene, cam_for(cfgg))
+    mesh = (make_mesh_2d(2, n_dev // 2) if n_dev % 2 == 0 and n_dev > 1
+            else make_mesh(n_dev))
+    compiled, args = grad_step_compiled(
+        host.render_scene, cfgg, targets, jnp.uint32(0), mesh)
+    text = compiled.as_text()
+    hlo_ok = (f"num_partitions={n_dev}" in text) and ("all-reduce" in text)
+    seed0 = args[2]
+    shard_n = next(iter(seed0.addressable_shards)).data.shape[0]
+    hlo_ok &= shard_n == seed0.shape[0] // n_dev
     loss, grads = grad_step_sharded(
-        host.render_scene, cfg, targets, jnp.uint32(0), make_mesh(n_dev))
-    ok = bool(np.isfinite(float(loss)))
+        host.render_scene, cfgg, targets, jnp.uint32(0), mesh)
+    ok = bool(np.isfinite(float(loss)) and hlo_ok and flat)
     print(f"config5 [{n_dev} devices]: {'PASS' if ok else 'FAIL'} "
+          f"weak_flat={flat} hlo_partitioned={hlo_ok} "
           f"sharded loss={float(loss):.5f} "
           f"|albedo grad|={float(jnp.linalg.norm(grads.albedo)):.2e}")
-    _artifact(5, ok=ok, n_devices=n_dev, width=w, height=h,
-              ms_per_frame={str(k): v * 1e3 for k, v in sorted(res.items())},
-              scaling_eff={str(k): v for k, v in sorted(effs.items())},
+    _artifact(5, ok=ok, n_devices=n_dev, mode="weak_scaling",
+              width=w, lanes_per_device=lanes_per_dev,
+              ms_per_frame={str(k): v[0] * 1e3 for k, v in sorted(res.items())},
+              weak_eff={str(k): v for k, v in sorted(effs.items())},
+              hlo_partitioned=hlo_ok, mesh_axes=list(mesh.axis_names),
               sharded_loss=float(loss),
               albedo_grad_norm=float(jnp.linalg.norm(grads.albedo)))
     return ok

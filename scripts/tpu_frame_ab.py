@@ -38,12 +38,13 @@ def main():
     scene = jax.device_put(host.render_scene)
     cp = CameraParams.from_camera(builtin.make_indoor_camera(W, H))
 
-    def make_frame(algo, block, ce=4, ladder=0, cap=0):
+    def make_frame(algo, block, ce=4, ladder=0, cap=0, order="native"):
         cfg = RenderConfig.for_scene(
             host.static, W, H, 1, use_defocus=True, use_pallas=True,
         )._replace(max_bounces=None, wave_limit=32, compact=True,
                    compact_every=ce, algo=algo, block_rays=block,
-                   ladder=ladder, cap_rows=cap)
+                   ladder=ladder, ladder_shrink=2, cap_rows=cap,
+                   pixel_order=order)
 
         def frame(total_samples):
             seed = initial_seeds(cfg, total_samples)
@@ -56,11 +57,12 @@ def main():
 
     frames = {}
     for c in combos:
-        parts = c.split(":")  # algo:block[:compact_every[:ladder[:cap]]]
+        parts = c.split(":")  # algo:block[:ce[:ladder[:cap[:order]]]]
         frames[c] = make_frame(parts[0], int(parts[1]),
                                int(parts[2]) if len(parts) > 2 else 4,
                                int(parts[3]) if len(parts) > 3 else 0,
-                               int(parts[4]) if len(parts) > 4 else 0)
+                               int(parts[4]) if len(parts) > 4 else 0,
+                               parts[5] if len(parts) > 5 else "native")
         t0 = time.perf_counter()
         jax.block_until_ready(frames[c](0))  # compile+warmup
         print(f"{c}: compiled+warm in {time.perf_counter()-t0:.1f}s",

@@ -1081,6 +1081,50 @@ def _mt8(row, row_i, ox, oy, oz, dx, dy, dz, c, dtype=jnp.float32):
     return best_t, best_r, best_u, best_v
 
 
+def _mt8_any(row, ox, oy, oz, dx, dy, dz, c):
+    """Any-hit variant of _mt8 (shadow/connect rays, ray_connect.comp:
+    178-212): occlusion only needs *whether* some triangle lies in
+    [eps, t_max), so the winner-id/u/v carries, their selects and the
+    slot-id extract are dropped — the single best_t carry doubles as the
+    occlusion flag (best_t < t_max at the end <=> occluded).  u/v are
+    still computed (they are part of the hit predicate)."""
+    (best_t,) = c
+    one = jnp.float32(1.0)
+    for j in range(WIDTH):
+        b = REC * j
+        v0x = row[0, b + 0]
+        v0y = row[0, b + 1]
+        v0z = row[0, b + 2]
+        e1x = row[0, b + 3]
+        e1y = row[0, b + 4]
+        e1z = row[0, b + 5]
+        e2x = row[0, b + 6]
+        e2y = row[0, b + 7]
+        e2z = row[0, b + 8]
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        f = one / a
+        sx = ox - v0x
+        sy = oy - v0y
+        sz = oz - v0z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (dx * qx + dy * qy + dz * qz)
+        t = f * (e2x * qx + e2y * qy + e2z * qz)
+        hit = (
+            (jnp.abs(a) >= _EPS)
+            & (u >= 0.0) & (u <= 1.0)
+            & (v >= 0.0) & (u + v <= 1.0)
+            & (t >= _EPS) & (t < best_t)
+        )
+        best_t = jnp.where(hit, t, best_t)
+    return (best_t,)
+
+
 def _bw8(row, row_i, ox, oy, oz, dx, dy, dz, c):
     """8 Baldwin–Weber plane+barycentric tests of one precomputed-
     coefficient row (LeafTable.tablew) against a ray block — ~1.4x fewer
@@ -1244,7 +1288,7 @@ def _leaf_rows_kernel(counts_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
                       cap8: int, sweep: bool, halves: int,
                       carry_in: bool = False, use_bf16: bool = False,
                       use_bw: bool = False, rows_per_trip: int = LEAF_TRIS,
-                      ilp: bool = False):
+                      ilp: bool = False, any_trim: bool = False):
     """Phase-2 leaf intersection over AFFINE row addresses.
 
     sweep=False: rows_ref is the per-sub-block gather-compacted row buffer
@@ -1282,6 +1326,9 @@ def _leaf_rows_kernel(counts_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
                     row = rows_ref[pl.ds(gi * rows_per_trip + e, 1), :]
                 else:
                     row = rows_ref[h, pl.ds(gi * rows_per_trip + e, 1), :]
+                if any_trim:
+                    c = _mt8_any(row, ox, oy, oz, dx, dy, dz, c)
+                    continue
                 row_i = pltpu.bitcast(row, jnp.int32)
                 if use_bw:
                     fn = _bw8_ilp if ilp else _bw8
@@ -1294,11 +1341,24 @@ def _leaf_rows_kernel(counts_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
 
         # carries/decisions stay f32 (no packed-bf16 compares on v5e);
         # dt only accelerates the MT polynomial inside _mt8.
+        tm0 = tm_ref[0, sl]
+        if any_trim:
+            # occlusion-only epilogue: best_t is the single carry and
+            # doubles as the occluded flag.  r=0 maps through the leaf
+            # table's identity rec_slot (build_leaf_table: rec[:T] =
+            # arange) to prim 0 >= 0 = "occluded"; u/v are unused by the
+            # connect stage (integrator._next_event reads only prim).
+            (bt,) = jax.lax.fori_loop(0, trip, group, (tm0,))
+            occ = bt < tm0
+            t_out[0, sl] = bt
+            r_out[0, sl] = jnp.where(occ, jnp.int32(0), jnp.int32(-1))
+            u_out[0, sl] = jnp.zeros(tm0.shape, jnp.float32)
+            v_out[0, sl] = jnp.zeros(tm0.shape, jnp.float32)
+            continue
         if carry_in:
             # refinement round: resume from the prefix round's running best
             init = (t_in[0, sl], r_in[0, sl], u_in[0, sl], v_in[0, sl])
         else:
-            tm0 = tm_ref[0, sl]
             init = (
                 tm0,
                 jnp.full(tm0.shape, -1, jnp.int32),
@@ -1674,7 +1734,13 @@ def _traverse_bits_padded(ltab, box_lo, box_hi, anc,
             cap8=(E // LEAF_TRIS if kernel_sweep else trip_cap),
             sweep=kernel_sweep, halves=H, carry_in=carry is not None,
             use_bf16=use_bf16, use_bw=use_bw, ilp=ilp,
-            rows_per_trip=(LEAF_TRIS if kernel_sweep else rows_step))
+            rows_per_trip=(LEAF_TRIS if kernel_sweep else rows_step),
+            # Shadow rays need only the occlusion bit: drop the winner-id/
+            # u/v carries and the slot-id extract (any-hit epilogue trim,
+            # ray_connect.comp:178-212 analog).  Not composed with the
+            # bw/ilp/bf16 experiment kernels or the t-refresh carry round.
+            any_trim=(any_hit and not (use_bw or use_bf16 or ilp)
+                      and refine_rows <= 0 and carry is None))
         return pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape,
             interpret=interpret,

@@ -129,12 +129,11 @@ def render_frame_sharded(scene: RenderScene, cfg: RenderConfig,
     return acc.reshape(cfg.height, cfg.width, 3)
 
 
-def grad_step_sharded(scene: RenderScene, cfg: RenderConfig,
-                      targets: DiffTargets, total_samples, mesh: Mesh,
-                      reference_image=None):
-    """One differentiable render + backward over the mesh: lanes sharded,
-    targets replicated; the gradient all-reduce is derived by SPMD from the
-    replicated-out-sharding constraint.  Returns (loss, grads) replicated."""
+def _grad_step_prepared(scene: RenderScene, cfg: RenderConfig,
+                        targets: DiffTargets, total_samples, mesh: Mesh,
+                        reference_image=None):
+    """Shared setup for grad_step_sharded / grad_step_compiled_text:
+    places args on the mesh and returns (jitted_fn, args)."""
     n = cfg.width * cfg.height
     n_dev = mesh.devices.size
     assert n % n_dev == 0
@@ -172,7 +171,30 @@ def grad_step_sharded(scene: RenderScene, cfg: RenderConfig,
         static_argnames=(),
         out_shardings=(repl, repl),
     )
-    return fn(targets, scene, seed0, px, py, ref)
+    return fn, (targets, scene, seed0, px, py, ref)
+
+
+def grad_step_sharded(scene: RenderScene, cfg: RenderConfig,
+                      targets: DiffTargets, total_samples, mesh: Mesh,
+                      reference_image=None):
+    """One differentiable render + backward over the mesh: lanes sharded,
+    targets replicated; the gradient all-reduce is derived by SPMD from the
+    replicated-out-sharding constraint.  Returns (loss, grads) replicated."""
+    fn, args = _grad_step_prepared(
+        scene, cfg, targets, total_samples, mesh, reference_image)
+    return fn(*args)
+
+
+def grad_step_compiled(scene: RenderScene, cfg: RenderConfig,
+                       targets: DiffTargets, total_samples, mesh: Mesh,
+                       reference_image=None):
+    """Compiled (but not executed) sharded grad step — lets tests assert
+    on the partitioned HLO itself (VERDICT r3 item 5): lanes actually
+    sharded over the mesh axes and a cross-device all-reduce present for
+    the replicated material/camera gradients."""
+    fn, args = _grad_step_prepared(
+        scene, cfg, targets, total_samples, mesh, reference_image)
+    return fn.lower(*args).compile(), args
 
 
 class ShardedSession:
@@ -219,9 +241,14 @@ class ShardedSession:
 
 def scaling_sweep(scene: RenderScene, cfg: RenderConfig, cam: CameraParams,
                   device_counts, repeats: int = 3):
-    """Throughput vs chip count (BASELINE config 5's measurement harness).
-    Uses the place-once session so per-frame timings measure render
-    dispatch, not scene re-upload.  Returns {n_devices: seconds_best}."""
+    """Strong-scaling throughput vs chip count (fixed total work).  Uses
+    the place-once session so per-frame timings measure render dispatch,
+    not scene re-upload.  Returns {n_devices: seconds_best}.
+
+    CAVEAT (VERDICT r3 item 5): on the virtual CPU mesh every 'device' is
+    a thread pool slice of ONE machine, so fixed-total-work sweeps at
+    small shapes measure dispatch overhead, not scaling — use
+    weak_scaling_sweep for evidence."""
     import time
 
     results = {}
@@ -237,4 +264,32 @@ def scaling_sweep(scene: RenderScene, cfg: RenderConfig, cam: CameraParams,
             jax.block_until_ready(img)
             best = min(best, time.perf_counter() - t0)
         results[nd] = best
+    return results
+
+
+def weak_scaling_sweep(make_cfg, scene: RenderScene, cam_for, device_counts,
+                       repeats: int = 3):
+    """Weak-scaling sweep: per-device work is held CONSTANT (the image
+    grows with the device count), so per-frame time flat within noise ==
+    linear scaling.  ``make_cfg(n_devices) -> RenderConfig`` must return a
+    config whose lane count is proportional to n_devices (e.g. fixed
+    width, height = lanes_per_device * n // width); ``cam_for(cfg)``
+    builds the camera for that shape.  Returns
+    {n_devices: (seconds_best, lanes_per_device)}."""
+    import time
+
+    results = {}
+    for nd in device_counts:
+        cfg = make_cfg(nd)
+        cam = cam_for(cfg)
+        sess = ShardedSession(scene, cfg, make_mesh(nd))
+        img = sess.render(cam, jnp.uint32(0))
+        jax.block_until_ready(img)
+        best = np.inf
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            img = sess.render(cam, jnp.uint32(0))
+            jax.block_until_ready(img)
+            best = min(best, time.perf_counter() - t0)
+        results[nd] = (best, cfg.width * cfg.height // nd)
     return results

@@ -94,6 +94,18 @@ class RenderConfig(NamedTuple):
                                     # at 1/shrink the dispatch width
                                     # (repeated; forward unbounded mode)
     ladder_shrink: int = 4          # ladder width divisor per rung
+    pixel_order: str = "native"     # lane->pixel mapping: "native" row-major
+                                    # or "morton" (Z-order).  Morton makes
+                                    # every aligned 2048-lane packet a
+                                    # compact ~64x32 pixel tile instead of 8
+                                    # thin scanlines, tightening the packet
+                                    # frustum the bits traversal unions see
+                                    # (measured at 256^2 G=2048,
+                                    # scripts/morton_pixel_study.py: union
+                                    # rows primary 167->140, bounce
+                                    # 557->491, shadow 264->200).  Pure lane
+                                    # permutation: per-pixel RNG streams and
+                                    # the image are bit-identical.
     compact_every: int = 4          # ... on every k-th wave (cumsum+scatter
                                     # cost scales with lane count; 512^2
                                     # cadence A/B measured every-4th best:
@@ -638,8 +650,12 @@ def _bounce_loop_ladder(scene: RenderScene, cfg: RenderConfig,
 
 
 def render_sample(scene: RenderScene, cfg: RenderConfig, vp: ViewPlane,
-                  seed, px, py):
-    """One sample for every pixel lane: raygen + full bounce loop on device."""
+                  seed, px, py, pixel_ids=None):
+    """One sample for every pixel lane: raygen + full bounce loop on device.
+
+    ``pixel_ids`` (optional [N] int32 permutation) maps lane i to a pixel
+    other than i (cfg.pixel_order="morton"); seed/energy are then returned
+    in PIXEL order via the same inverse scatter compaction uses."""
     seed, origin, direction = ray_generation(cfg, vp, seed, px, py)
     n = seed.shape[0]
     state = PathState(
@@ -651,13 +667,14 @@ def render_sample(scene: RenderScene, cfg: RenderConfig, vp: ViewPlane,
         last_specular=jnp.ones(n, bool),
         in_medium=jnp.zeros(n, bool),
         alive=jnp.ones(n, bool),
-        pixel=jnp.arange(n, dtype=jnp.int32),
+        pixel=(jnp.arange(n, dtype=jnp.int32) if pixel_ids is None
+               else pixel_ids),
     )
     if cfg.ladder > 0 and cfg.max_bounces is None:
         return _bounce_loop_ladder(scene, cfg, state)
     state = _bounce_loop(scene, cfg, state)
 
-    if cfg.compact:
+    if cfg.compact or pixel_ids is not None:
         # Restore pixel order for the per-pixel accumulator and seed
         # streams.  state.pixel is a permutation, so its inverse is one
         # scatter (argsort would cost ~100ms at 256^2 on v5e).
@@ -683,16 +700,43 @@ def render_frame(scene: RenderScene, cfg: RenderConfig, cam: CameraParams,
     return acc
 
 
+def lane_pixel_perm(cfg: RenderConfig):
+    """Static lane->pixel permutation for cfg.pixel_order, or None for the
+    identity (native row-major).  "morton" interleaves the x/y bits of the
+    pixel coordinate (stable-argsorted, so any W/H works)."""
+    if cfg.pixel_order == "native":
+        return None
+    if cfg.pixel_order != "morton":
+        raise ValueError(f"unknown pixel_order {cfg.pixel_order!r}")
+    import numpy as np
+
+    n = cfg.width * cfg.height
+    px = np.arange(n, dtype=np.uint64) % cfg.width
+    py = np.arange(n, dtype=np.uint64) // cfg.width
+    code = np.zeros(n, np.uint64)
+    for b in range(max(cfg.width, cfg.height).bit_length()):
+        code |= ((px >> b) & 1) << (2 * b)
+        code |= ((py >> b) & 1) << (2 * b + 1)
+    return jnp.asarray(np.argsort(code, kind="stable").astype(np.int32))
+
+
 def _render_samples_from_seed(scene, cfg: RenderConfig, cam, seed0):
     vp = view_plane_jnp(cam, cfg.width, cfg.height)
     n = cfg.width * cfg.height
-    lane = jnp.arange(n, dtype=jnp.uint32)
-    px = (lane % jnp.uint32(cfg.width)).astype(jnp.int32)
-    py = (lane // jnp.uint32(cfg.width)).astype(jnp.int32)
+    perm = lane_pixel_perm(cfg)
+    lane_pixel = jnp.arange(n, dtype=jnp.uint32) if perm is None \
+        else perm.astype(jnp.uint32)
+    px = (lane_pixel % jnp.uint32(cfg.width)).astype(jnp.int32)
+    py = (lane_pixel // jnp.uint32(cfg.width)).astype(jnp.int32)
 
     def body(_, carry):
+        # carry is in PIXEL order (seed streams and the accumulator are
+        # per-pixel regardless of the lane mapping).
         seed, acc = carry
-        seed, energy = render_sample(scene, cfg, vp, seed, px, py)
+        seed_lane = seed if perm is None else jnp.take(seed, perm)
+        seed, energy = render_sample(
+            scene, cfg, vp, seed_lane, px, py,
+            pixel_ids=None if perm is None else perm)
         return seed, acc + energy
 
     seed, acc = jax.lax.fori_loop(

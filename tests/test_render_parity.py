@@ -111,6 +111,30 @@ def test_determinism_same_seed(box):
     assert np.array_equal(a, b)
 
 
+def test_morton_pixel_order_bit_identical(box):
+    """cfg.pixel_order="morton" is a pure lane->pixel permutation: the
+    image AND the per-pixel seed streams are bit-identical to native order
+    (the permutation only changes which pixels share a traversal packet)."""
+    from surf_tpu.wavefront.integrator import (initial_seeds,
+                                               render_frame_seeded)
+
+    W = H = 16
+    cam = builtin.make_indoor_camera(W, H)
+    cp = CameraParams.from_camera(cam)
+    base = RenderConfig.for_scene(
+        box.static, W, H, 2, use_defocus=True,
+    )._replace(max_bounces=None, wave_limit=16, compact=True,
+               ladder=2, ladder_shrink=2)
+    outs = {}
+    for order in ("native", "morton"):
+        cfg = base._replace(pixel_order=order)
+        seed = initial_seeds(cfg, jnp.uint32(0))
+        img, s2 = render_frame_seeded(box.render_scene, cfg, cp, seed)
+        outs[order] = (np.asarray(img), np.asarray(s2))
+    assert np.array_equal(outs["native"][0], outs["morton"][0])
+    assert np.array_equal(outs["native"][1], outs["morton"][1])
+
+
 def test_progressive_accumulation_stream(box):
     """totalSamples advances the per-pixel seed stream (renderer.cpp:169):
     frames at different totalSamples must differ."""

@@ -86,6 +86,37 @@ def test_scene_update_rotates_instance3():
     assert np.allclose(before[:o], after[:o])  # others untouched
 
 
+def test_flattening_memory_scales_with_instances():
+    """Documented departure (DESIGN.md §4a, VERDICT r3 #8): the device
+    scene flattens instances to world space, so stored triangles — and
+    every traversal table — grow linearly with the instance count (the
+    reference's TLAS→BLAS shares one BLAS per mesh, bvh.cpp:481-513).
+    This pins the trade so a future two-level device path can remove it
+    consciously."""
+    from surf_tpu.scene.instance import Instance
+    from surf_tpu.scene.scene import Scene, SceneBackground
+
+    cube = make_cube()
+    mat = Material(albedo=np.array([0.5, 0.5, 0.5], np.float32))
+
+    def scene_with(n):
+        insts = [
+            Instance(cube, mat,
+                     tf.translate(tf.identity(), [2.0 * i, 0.0, 0.0]))
+            for i in range(n)
+        ]
+        return HostCompiled(Scene(SceneBackground(), insts))
+
+    h2 = scene_with(2)
+    h8 = scene_with(8)
+    assert h2.static.tri_count == 2 * cube.tri_count
+    assert h8.static.tri_count == 8 * cube.tri_count
+    # traversal tables scale with stored (instanced) tris, not unique tris
+    occ2 = int((np.asarray(h2.render_scene.trace.wide_lrec) >= 0).sum())
+    occ8 = int((np.asarray(h8.render_scene.trace.wide_lrec) >= 0).sum())
+    assert occ2 == 2 * cube.tri_count and occ8 == 8 * cube.tri_count
+
+
 def test_camera_view_plane_reference_values():
     cam = builtin.make_indoor_camera(1280, 720)
     fp, uv, vv = cam.view_plane()

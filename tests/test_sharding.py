@@ -99,6 +99,59 @@ def test_gradient_allreduce_in_compiled_graph(setup):
     assert "all-reduce" in compiled_text, "expected a gradient all-reduce"
 
 
+def test_grad_step_compiled_partitions_2d_mesh(setup):
+    """grad_step_sharded's own compiled HLO on the ('hosts','chips') mesh
+    (VERDICT r3 item 5): the program is 8-way SPMD-partitioned, the lane
+    arrays are sharded over BOTH mesh axes, and a cross-device all-reduce
+    exists for the replicated material/camera gradients."""
+    from jax.sharding import PartitionSpec as P
+
+    from surf_tpu.dist import grad_step_compiled, make_mesh_2d
+
+    host, cam, cfg = setup
+    cfg = cfg._replace(max_bounces=4)
+    targets = DiffTargets.from_scene(
+        host.render_scene, CameraParams.from_camera(cam)
+    )
+    compiled, args = grad_step_compiled(
+        host.render_scene, cfg, targets, jnp.uint32(0), make_mesh_2d(2, 4)
+    )
+    text = compiled.as_text()
+    assert "num_partitions=8" in text, "program not SPMD-partitioned"
+    assert "all-reduce" in text, "expected a gradient all-reduce"
+    seed0, px, py = args[2], args[3], args[4]
+    for lane_arr in (seed0, px, py):
+        assert lane_arr.sharding.spec == P(("hosts", "chips"))
+        # actually partitioned: each device holds 1/8 of the lanes
+        shard = next(iter(lane_arr.addressable_shards))
+        assert shard.data.shape[0] == lane_arr.shape[0] // 8
+
+
+def test_pallas_interpret_composes_with_mesh(setup):
+    """The bench device path (use_pallas + bits kernels, interpret mode on
+    CPU) must compile AND execute under the 8-device sharded render — so
+    sharding x pallas_call composition is exercised in CI before real
+    multi-chip hardware ever is (VERDICT r3 item 9)."""
+    host, cam, cfg = setup
+    cp = CameraParams.from_camera(cam)
+    base = cfg._replace(max_bounces=None, wave_limit=6, compact=True)
+    pall = base._replace(use_pallas=True, pallas_interpret=True,
+                         algo="bitsru8", block_rays=1024)
+    mesh = make_mesh(8)
+    ref = np.asarray(
+        render_frame_sharded(host.render_scene, base, cp, jnp.uint32(0),
+                             mesh))
+    img = np.asarray(
+        render_frame_sharded(host.render_scene, pall, cp, jnp.uint32(0),
+                             mesh))
+    assert np.isfinite(img).all()
+    # bits traversal is exact vs the XLA lockstep walk; the images agree
+    # except for float-chaos pixels (documented divergence class).
+    div = (np.abs(img - ref).max(axis=2) > 1e-3).mean()
+    assert div < 0.02, f"divergent fraction {div}"
+    assert abs(img.sum() - ref.sum()) / abs(ref.sum()) < 0.01
+
+
 def test_2d_host_chip_mesh_matches_single_device(setup):
     """BASELINE config 5's ('hosts','chips') 2-D mesh (2x4 on the virtual
     8-CPU backend): render must be bit-identical to single-device and to
