@@ -1544,7 +1544,8 @@ def _traverse_pairs_padded(ltab, box_lo, box_hi, anc,
 
 @functools.partial(jax.jit, static_argnames=(
     "any_hit", "interpret", "cap_rows", "inert_row", "sub_lists",
-    "refine_rows", "use_bf16", "use_bw", "row_lists", "ilp", "unroll"))
+    "refine_rows", "use_bf16", "use_bw", "row_lists", "ilp", "unroll",
+    "no_any_trim"))
 def _traverse_bits_padded(ltab, box_lo, box_hi, anc,
                           ox, oy, oz, dx, dy, dz, tm, ac,
                           any_hit: bool, interpret: bool,
@@ -1552,7 +1553,7 @@ def _traverse_bits_padded(ltab, box_lo, box_hi, anc,
                           sub_lists: bool = False, refine_rows: int = 0,
                           use_bf16: bool = False, use_bw: bool = False,
                           row_lists: bool = False, ilp: bool = False,
-                          unroll: int = 1):
+                          unroll: int = 1, no_any_trim: bool = False):
     g, sub, _ = ox.shape
     R = sub * LANE
     E = ltab.shape[0]
@@ -1739,7 +1740,8 @@ def _traverse_bits_padded(ltab, box_lo, box_hi, anc,
             # u/v carries and the slot-id extract (any-hit epilogue trim,
             # ray_connect.comp:178-212 analog).  Not composed with the
             # bw/ilp/bf16 experiment kernels or the t-refresh carry round.
-            any_trim=(any_hit and not (use_bw or use_bf16 or ilp)
+            any_trim=(any_hit and not (use_bw or use_bf16 or ilp
+                                       or no_any_trim)
                       and refine_rows <= 0 and carry is None))
         return pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape,
@@ -1922,7 +1924,7 @@ def traverse_wide(
             unroll = int(um.group(1))
             flag_str = flag_str[:um.start()] + flag_str[um.end():]
         flags = set(flag_str)
-        assert flags <= set("28whrip"), f"unknown algo {algo}"
+        assert flags <= set("28whripa"), f"unknown algo {algo}"
         assert unroll in (1, 2, 4, 8, 16) and (unroll == 1 or "r" in flags), \
             "uN unroll needs exact row lists (r) and N in {1,2,4,8,16}"
         use_bf16 = "h" in flags
@@ -1932,6 +1934,7 @@ def traverse_wide(
         refine = "2" in flags
         sub_l = "8" in flags
         pairs = "p" in flags
+        no_any_trim = "a" in flags  # legacy full any-hit epilogue (A/B)
         assert not (row_lists and (refine or sub_l)), \
             "row lists are packet-wide (no sub-lists / t-refresh)"
         assert not (pairs and (flags - {"p"})), \
@@ -1972,7 +1975,7 @@ def traverse_wide(
             int(wt.inert_row), sub_lists=sub_l,
             refine_rows=(refine_rows or BITS_REFINE_ROWS) if refine else 0,
             use_bf16=use_bf16, use_bw=use_bw, row_lists=row_lists, ilp=ilp,
-            unroll=unroll,
+            unroll=unroll, no_any_trim=no_any_trim,
         )
 
         def unprep(x):
