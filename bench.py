@@ -66,6 +66,11 @@ def run_bench(width, height, spp, max_bounces, use_pallas, frames=3,
         # (waves 3-8 carry most width-proportional cost): 580 -> 559 ms
         # at 256^2@4spp, bit-identical (scripts/tpu_ladder_ab.py).
         ladder=6 if use_pallas else 0, ladder_shrink=2,
+        # Morton lane->pixel order: packets become ~64x32 pixel tiles
+        # instead of thin scanlines; bit-identical (r4 device A/B at
+        # 256^2@4spp: 557 -> 550 ms; union-row study: primary -16%,
+        # bounce -12%, shadow -24%).
+        pixel_order="morton" if use_pallas else "native",
     )
 
     def frame(total_samples):

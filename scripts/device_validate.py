@@ -179,7 +179,8 @@ def main():
     )._replace(max_bounces=None, wave_limit=32, algo="bitsru8",
                block_rays=2048)
     bench_cfg = base_cfg._replace(compact=True, compact_every=4,
-                                  ladder=6, ladder_shrink=2)
+                                  ladder=6, ladder_shrink=2,
+                                  pixel_order="morton")
     plain_cfg = base_cfg._replace(compact=False, ladder=0)
     print("frame_path: bench config...", flush=True)
     img_bench = frame(bench_cfg)
@@ -191,7 +192,7 @@ def main():
     frame_ok = bit_ident or rel_l1 == 0.0
     results["frame_path"] = {
         "width": Wf, "height": Hf, "spp": sppf,
-        "bench": "bitsru8:2048:ce4:ladder6/2:compact",
+        "bench": "bitsru8:2048:ce4:ladder6/2:compact:morton",
         "plain": "bitsru8:2048:nocompact:ladder0",
         "rel_l1": rel_l1, "bit_identical": bit_ident,
         "energy": float(img_bench.sum()) / sppf, "ok": frame_ok,

@@ -115,7 +115,8 @@ def _render(host, cam_params, width, height, spp, max_bounces, compact=False,
                wave_limit=cap, compact=compact or use_pallas,
                algo=ALGO if use_pallas else "skip",
                block_rays=2048 if use_pallas else 1024,
-               ladder=6 if use_pallas else 0, ladder_shrink=2)
+               ladder=6 if use_pallas else 0, ladder_shrink=2,
+               pixel_order="morton" if use_pallas else "native")
     scene = jax.device_put(host.render_scene)
     seed = initial_seeds(cfg, jnp.uint32(total_samples))
     acc = None
