@@ -162,9 +162,14 @@ def main():
     import jax
 
     backend = jax.default_backend()
+    # spp per jitted dispatch (RNG/image bit-identical at any chunking —
+    # render_frame_seeded carries the seed streams); >1 amortizes the
+    # ~12 ms per-dispatch fixed cost, bounded so single dispatches stay
+    # well under the remote tunnel's multi-minute kill window.
+    spp_chunk = int(os.environ.get("SURF_SPP_CHUNK", "1"))
     attempts = [
         dict(width=512, height=512, spp=16, max_bounces=32,
-             use_pallas=backend != "cpu", frames=2),
+             use_pallas=backend != "cpu", frames=2, spp_chunk=spp_chunk),
         dict(width=256, height=256, spp=4, max_bounces=32,
              use_pallas=backend != "cpu"),
         dict(width=128, height=128, spp=2, max_bounces=16,

@@ -1,10 +1,13 @@
 #!/bin/bash
-# Sequential device job queue with wedge-aware probing.
+# Sequential device job queue with wedge-aware probing AND a stuck-client
+# watchdog.
 #
-# The remote-TPU tunnel wedges for 10-90 min at a time (CLAUDE.md); this
-# runner probes with a short-timeout subprocess before each job and sleeps
-# through wedges, so queued device work lands whenever the worker is
-# healthy.  Each job runs under its own timeout; logs to /tmp/devq_<name>.log.
+# Two distinct remote-TPU failure modes (measured 2026-08-21):
+#  1. worker wedge: every client (including fresh probes) hangs 10-90 min;
+#  2. stuck client: ONE process hangs at startup (~0 CPU, no output) while
+#     the worker stays healthy — killing that client fixes it instantly.
+# This runner probes before each job (mode 1) and kills+retries a job
+# whose python child burns <5s CPU in its first 4 minutes (mode 2).
 #
 # Usage: nohup bash scripts/device_queue.sh > /tmp/devq.log 2>&1 &
 set -u
@@ -28,21 +31,46 @@ wait_healthy() {
     echo "$(date +%T) device healthy"
 }
 
-run_job() {
-    local name="$1" tmo="$2"; shift 2
-    echo "=== $(date +%T) job $name: $*"
-    wait_healthy
-    timeout "$tmo" "$@" > "/tmp/devq_${name}.log" 2>&1
-    local rc=$?
-    echo "=== $(date +%T) job $name exit $rc (log /tmp/devq_${name}.log)"
+cpu_secs() {  # cumulative CPU seconds of pid + children
+    local total=0 t
+    for p in "$1" $(ps -o pid= --ppid "$1" 2>/dev/null); do
+        t=$(ps -o cputimes= -p "$p" 2>/dev/null | tr -d ' ')
+        total=$((total + ${t:-0}))
+    done
+    echo "$total"
 }
 
-run_job ab512 2700 python -u scripts/tpu_frame_ab.py 512x512 16 \
-    "bitsru8:2048:4:6,bitsru8:2048:4:6:0:morton"
-run_job bench 2400 python -u bench.py
-run_job validate 2400 python -u scripts/device_validate.py \
-    --algos=bits,bitsr,bitsru8
-run_job instanced 2400 python -u scripts/tpu_instanced_ab.py
+run_job() {
+    local name="$1" tmo="$2"; shift 2
+    local attempt rc pid
+    for attempt in 1 2 3; do
+        echo "=== $(date +%T) job $name try $attempt: $*"
+        wait_healthy
+        timeout "$tmo" "$@" > "/tmp/devq_${name}.log" 2>&1 &
+        pid=$!
+        # startup watchdog: 4 min to accumulate 5s of CPU or be killed
+        local waited=0 stuck=1
+        while [ $waited -lt 240 ]; do
+            sleep 20; waited=$((waited+20))
+            kill -0 "$pid" 2>/dev/null || { stuck=0; break; }  # finished
+            if [ "$(cpu_secs "$pid")" -ge 5 ]; then stuck=0; break; fi
+        done
+        if [ $stuck -eq 1 ]; then
+            echo "=== $(date +%T) job $name stuck at startup; kill+retry"
+            kill -9 "$pid" $(ps -o pid= --ppid "$pid") 2>/dev/null
+            wait "$pid" 2>/dev/null
+            continue
+        fi
+        wait "$pid"; rc=$?
+        echo "=== $(date +%T) job $name exit $rc (log /tmp/devq_${name}.log)"
+        return $rc
+    done
+    echo "=== $(date +%T) job $name gave up after 3 stuck attempts"
+    return 99
+}
+
+# ---- job list (edit per session) -------------------------------------
 run_job config2 2400 python -u scripts/run_configs.py 2
-run_job config3 2400 python -u scripts/run_configs.py 3
+run_job bench_chunk4 2400 env SURF_SPP_CHUNK=4 python -u bench.py
+run_job config4 5400 python -u scripts/run_configs.py 4
 echo "=== $(date +%T) queue done"
