@@ -1021,7 +1021,8 @@ def _packet_bits(box_lo, box_hi, o3, inv3, tm, halves: int = 1):
     return jnp.any(hit.reshape(e_dim, halves, -1), axis=2)
 
 
-def _mt8(row, row_i, ox, oy, oz, dx, dy, dz, c, dtype=jnp.float32):
+def _mt8(row, row_i, ox, oy, oz, dx, dy, dz, c, dtype=jnp.float32,
+         sub: int = 0):
     """8 Möller–Trumbore tests of one leaf-table row against a ray block;
     the hit's prim id comes from the slot-id lane baked into the row
     (build_leaf_table), so results need no rec->prim mapping.
@@ -1035,16 +1036,16 @@ def _mt8(row, row_i, ox, oy, oz, dx, dy, dz, c, dtype=jnp.float32):
     one = dtype(1.0)
     for j in range(WIDTH):
         b = REC * j
-        v0x = row[0, b + 0].astype(dtype)
-        v0y = row[0, b + 1].astype(dtype)
-        v0z = row[0, b + 2].astype(dtype)
-        e1x = row[0, b + 3].astype(dtype)
-        e1y = row[0, b + 4].astype(dtype)
-        e1z = row[0, b + 5].astype(dtype)
-        e2x = row[0, b + 6].astype(dtype)
-        e2y = row[0, b + 7].astype(dtype)
-        e2z = row[0, b + 8].astype(dtype)
-        sid = row_i[0, b + 9]
+        v0x = row[sub, b + 0].astype(dtype)
+        v0y = row[sub, b + 1].astype(dtype)
+        v0z = row[sub, b + 2].astype(dtype)
+        e1x = row[sub, b + 3].astype(dtype)
+        e1y = row[sub, b + 4].astype(dtype)
+        e1z = row[sub, b + 5].astype(dtype)
+        e2x = row[sub, b + 6].astype(dtype)
+        e2y = row[sub, b + 7].astype(dtype)
+        e2z = row[sub, b + 8].astype(dtype)
+        sid = row_i[sub, b + 9]
         hx = dy * e2z - dz * e2y
         hy = dz * e2x - dx * e2z
         hz = dx * e2y - dy * e2x
@@ -1288,7 +1289,8 @@ def _leaf_rows_kernel(counts_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
                       cap8: int, sweep: bool, halves: int,
                       carry_in: bool = False, use_bf16: bool = False,
                       use_bw: bool = False, rows_per_trip: int = LEAF_TRIS,
-                      ilp: bool = False, any_trim: bool = False):
+                      ilp: bool = False, any_trim: bool = False,
+                      block_fetch: bool = False):
     """Phase-2 leaf intersection over AFFINE row addresses.
 
     sweep=False: rows_ref is the per-sub-block gather-compacted row buffer
@@ -1321,6 +1323,21 @@ def _leaf_rows_kernel(counts_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
         dz = dz_ref[0, sl].astype(dt)
 
         def group(gi, c, h=h, ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz):
+            if block_fetch and not any_trim:
+                # one (rows_per_trip, 128) VMEM read per trip instead of
+                # rows_per_trip (1, 128) reads — tests whether per-fetch
+                # scaffolding (not extracts/vector math) floors the row
+                # cost (algo flag 'b', r4 experiment)
+                if sweep:
+                    blk = rows_ref[pl.ds(gi * rows_per_trip, rows_per_trip), :]
+                else:
+                    blk = rows_ref[h, pl.ds(gi * rows_per_trip,
+                                            rows_per_trip), :]
+                blk_i = pltpu.bitcast(blk, jnp.int32)
+                for e in range(rows_per_trip):
+                    c = _mt8(blk, blk_i, ox, oy, oz, dx, dy, dz, c, dt,
+                             sub=e)
+                return c
             for e in range(rows_per_trip):
                 if sweep:
                     row = rows_ref[pl.ds(gi * rows_per_trip + e, 1), :]
@@ -1545,7 +1562,7 @@ def _traverse_pairs_padded(ltab, box_lo, box_hi, anc,
 @functools.partial(jax.jit, static_argnames=(
     "any_hit", "interpret", "cap_rows", "inert_row", "sub_lists",
     "refine_rows", "use_bf16", "use_bw", "row_lists", "ilp", "unroll",
-    "no_any_trim"))
+    "no_any_trim", "block_fetch"))
 def _traverse_bits_padded(ltab, box_lo, box_hi, anc,
                           ox, oy, oz, dx, dy, dz, tm, ac,
                           any_hit: bool, interpret: bool,
@@ -1553,7 +1570,8 @@ def _traverse_bits_padded(ltab, box_lo, box_hi, anc,
                           sub_lists: bool = False, refine_rows: int = 0,
                           use_bf16: bool = False, use_bw: bool = False,
                           row_lists: bool = False, ilp: bool = False,
-                          unroll: int = 1, no_any_trim: bool = False):
+                          unroll: int = 1, no_any_trim: bool = False,
+                          block_fetch: bool = False):
     g, sub, _ = ox.shape
     R = sub * LANE
     E = ltab.shape[0]
@@ -1736,6 +1754,7 @@ def _traverse_bits_padded(ltab, box_lo, box_hi, anc,
             sweep=kernel_sweep, halves=H, carry_in=carry is not None,
             use_bf16=use_bf16, use_bw=use_bw, ilp=ilp,
             rows_per_trip=(LEAF_TRIS if kernel_sweep else rows_step),
+            block_fetch=block_fetch and not kernel_sweep,
             # Shadow rays need only the occlusion bit: drop the winner-id/
             # u/v carries and the slot-id extract (any-hit epilogue trim,
             # ray_connect.comp:178-212 analog).  Not composed with the
@@ -1924,7 +1943,7 @@ def traverse_wide(
             unroll = int(um.group(1))
             flag_str = flag_str[:um.start()] + flag_str[um.end():]
         flags = set(flag_str)
-        assert flags <= set("28whripa"), f"unknown algo {algo}"
+        assert flags <= set("28whripab"), f"unknown algo {algo}"
         assert unroll in (1, 2, 4, 8, 16) and (unroll == 1 or "r" in flags), \
             "uN unroll needs exact row lists (r) and N in {1,2,4,8,16}"
         use_bf16 = "h" in flags
@@ -1935,6 +1954,10 @@ def traverse_wide(
         sub_l = "8" in flags
         pairs = "p" in flags
         no_any_trim = "a" in flags  # legacy full any-hit epilogue (A/B)
+        block_fetch = "b" in flags  # (unroll,128) block row fetches (A/B)
+        assert not block_fetch or ("r" in flags and "w" not in flags
+                                   and "i" not in flags), \
+            "block fetch ('b') needs row lists and the plain MT kernel"
         assert not (row_lists and (refine or sub_l)), \
             "row lists are packet-wide (no sub-lists / t-refresh)"
         assert not (pairs and (flags - {"p"})), \
@@ -1976,6 +1999,7 @@ def traverse_wide(
             refine_rows=(refine_rows or BITS_REFINE_ROWS) if refine else 0,
             use_bf16=use_bf16, use_bw=use_bw, row_lists=row_lists, ilp=ilp,
             unroll=unroll, no_any_trim=no_any_trim,
+            block_fetch=block_fetch,
         )
 
         def unprep(x):
