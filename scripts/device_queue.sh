@@ -41,28 +41,39 @@ cpu_secs() {  # cumulative CPU seconds of pid + children
 }
 
 run_job() {
+    # Stuck-client detection over the job's WHOLE life: a healthy device
+    # job prints (or burns CPU) regularly; kill+retry when BOTH the log
+    # mtime is stale >8 min AND cumulative CPU grew <3s over that window.
     local name="$1" tmo="$2"; shift 2
-    local attempt rc pid
+    local attempt rc pid log="/tmp/devq_${name}.log"
     for attempt in 1 2 3; do
         echo "=== $(date +%T) job $name try $attempt: $*"
         wait_healthy
-        timeout "$tmo" "$@" > "/tmp/devq_${name}.log" 2>&1 &
+        timeout "$tmo" "$@" > "$log" 2>&1 &
         pid=$!
-        # startup watchdog: 4 min to accumulate 5s of CPU or be killed
-        local waited=0 stuck=1
-        while [ $waited -lt 240 ]; do
-            sleep 20; waited=$((waited+20))
-            kill -0 "$pid" 2>/dev/null || { stuck=0; break; }  # finished
-            if [ "$(cpu_secs "$pid")" -ge 5 ]; then stuck=0; break; fi
+        local stuck=0 last_cpu=0 stale=0
+        while kill -0 "$pid" 2>/dev/null; do
+            sleep 60
+            kill -0 "$pid" 2>/dev/null || break
+            local age cpu
+            age=$(( $(date +%s) - $(stat -c %Y "$log" 2>/dev/null || date +%s) ))
+            cpu=$(cpu_secs "$pid")
+            if [ "$age" -ge 480 ] && [ $((cpu - last_cpu)) -lt 3 ]; then
+                stale=$((stale+1))
+            else
+                stale=0
+            fi
+            last_cpu=$cpu
+            if [ $stale -ge 2 ]; then stuck=1; break; fi
         done
         if [ $stuck -eq 1 ]; then
-            echo "=== $(date +%T) job $name stuck at startup; kill+retry"
+            echo "=== $(date +%T) job $name stuck (stale log, idle CPU); kill+retry"
             kill -9 "$pid" $(ps -o pid= --ppid "$pid") 2>/dev/null
             wait "$pid" 2>/dev/null
             continue
         fi
         wait "$pid"; rc=$?
-        echo "=== $(date +%T) job $name exit $rc (log /tmp/devq_${name}.log)"
+        echo "=== $(date +%T) job $name exit $rc (log $log)"
         return $rc
     done
     echo "=== $(date +%T) job $name gave up after 3 stuck attempts"
@@ -70,7 +81,8 @@ run_job() {
 }
 
 # ---- job list (edit per session) -------------------------------------
-run_job config2 2400 python -u scripts/run_configs.py 2
-run_job bench_chunk4 2400 env SURF_SPP_CHUNK=4 python -u bench.py
+run_job ab_blockfetch 2700 python -u scripts/tpu_frame_ab.py 256x256 4 \
+    "bitsru8:2048:4:6:0:morton,bitsru8b:2048:4:6:0:morton"
 run_job config4 5400 python -u scripts/run_configs.py 4
+run_job config2 2400 python -u scripts/run_configs.py 2
 echo "=== $(date +%T) queue done"

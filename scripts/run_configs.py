@@ -120,9 +120,15 @@ def _render(host, cam_params, width, height, spp, max_bounces, compact=False,
     scene = jax.device_put(host.render_scene)
     seed = initial_seeds(cfg, jnp.uint32(total_samples))
     acc = None
-    for _ in range(spp // spp_chunk):
+    chains = spp // spp_chunk
+    for k in range(chains):
         part, seed = render_frame_seeded(scene, cfg, cam_params, seed)
         acc = part if acc is None else acc + part
+        if chains >= 64 and (k + 1) % 32 == 0:
+            # heartbeat for long frames (the stuck-client watchdog keys
+            # on log staleness); the sync costs ~one dispatch overlap
+            jax.block_until_ready(acc)
+            print(f"    chain {k + 1}/{chains}", flush=True)
     return np.asarray(jax.block_until_ready(acc))
 
 
