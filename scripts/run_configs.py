@@ -388,8 +388,8 @@ def main():
                    help="config numbers to run, or 'all' (default 1 2 3)")
     p.add_argument("--scale", type=float, default=1.0)
     p.add_argument("--cpu", action="store_true")
-    p.add_argument("--algo", default="bits",
-                   help="Pallas traversal algo (bits/skip/stack/ilvN)")
+    p.add_argument("--algo", default=ALGO,
+                   help="Pallas traversal algo (bits*/skip/stack)")
     p.add_argument("--all", action="store_true",
                    help="run all five BASELINE configs")
     args = p.parse_args()
