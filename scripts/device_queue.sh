@@ -81,8 +81,7 @@ run_job() {
 }
 
 # ---- job list (edit per session) -------------------------------------
-run_job ab_blockfetch 2700 python -u scripts/tpu_frame_ab.py 256x256 4 \
-    "bitsru8:2048:4:6:0:morton,bitsru8b:2048:4:6:0:morton"
-run_job config4 5400 python -u scripts/run_configs.py 4
 run_job config2 2400 python -u scripts/run_configs.py 2
+run_job config3 2400 python -u scripts/run_configs.py 3
+run_job config4 5400 python -u scripts/run_configs.py 4
 echo "=== $(date +%T) queue done"

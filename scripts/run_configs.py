@@ -383,6 +383,7 @@ def config5(scale):
 
 
 def main():
+    global ALGO
     p = argparse.ArgumentParser()
     p.add_argument("configs", nargs="*", default=["1", "2", "3"],
                    help="config numbers to run, or 'all' (default 1 2 3)")
@@ -393,7 +394,6 @@ def main():
     p.add_argument("--all", action="store_true",
                    help="run all five BASELINE configs")
     args = p.parse_args()
-    global ALGO
     ALGO = args.algo
     if args.all or args.configs == ["all"]:
         args.configs = ["1", "2", "3", "4", "5"]
