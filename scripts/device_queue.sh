@@ -81,7 +81,5 @@ run_job() {
 }
 
 # ---- job list (edit per session) -------------------------------------
-run_job config2 2400 python -u scripts/run_configs.py 2
-run_job config3 2400 python -u scripts/run_configs.py 3
-run_job config4 5400 python -u scripts/run_configs.py 4
+run_job config1 3000 python -u scripts/run_configs.py 1
 echo "=== $(date +%T) queue done"
