@@ -81,5 +81,6 @@ run_job() {
 }
 
 # ---- job list (edit per session) -------------------------------------
-run_job config1 3000 python -u scripts/run_configs.py 1
+run_job ab_cap 3000 python -u scripts/tpu_frame_ab.py 256x256 4 \
+    "bitsru8:2048:4:6:0:morton,bitsru8:2048:4:6:1024:morton,bitsru8:2048:4:6:768:morton,bitsru8:2048:2:6:0:morton,bitsru8:2048:8:6:0:morton"
 echo "=== $(date +%T) queue done"

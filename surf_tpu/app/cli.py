@@ -78,9 +78,14 @@ def run(cfg: AppConfig) -> dict:
     if cfg.algo is not None:
         rcfg = rcfg._replace(algo=cfg.algo)
     if cfg.ladder:
-        rcfg = rcfg._replace(ladder=cfg.ladder)
+        rcfg = rcfg._replace(ladder=cfg.ladder,
+                             ladder_shrink=cfg.ladder_shrink)
     if cfg.block_rays is not None:
         rcfg = rcfg._replace(block_rays=cfg.block_rays)
+    # pixel_order applies to the plain render path; the sharded /
+    # wave-stats / deferral variants keep their own native lane layouts.
+    if not (cfg.shard or cfg.wave_stats or cfg.defer):
+        rcfg = rcfg._replace(pixel_order=cfg.pixel_order)
 
     if cfg.resume and cfg.checkpoint:
         acc = Accumulator.load(cfg.checkpoint)
@@ -235,7 +240,12 @@ def main(argv=None) -> int:
     p.add_argument("--algo", default=None)
     p.add_argument("--ladder", type=int, default=0,
                    help="width-ladder rungs for the wave loop")
+    p.add_argument("--ladder-shrink", type=int, default=4,
+                   help="ladder width divisor per rung")
     p.add_argument("--block-rays", type=int, default=None)
+    p.add_argument("--pixel-order", default="native",
+                   choices=["native", "morton"],
+                   help="lane->pixel mapping (morton = tiled packets)")
     p.add_argument("--frames-in-flight", type=int, default=1,
                    help="dispatch-ahead depth (reference FRAMES_IN_FLIGHT=3)")
     p.add_argument("--checkpoint", default=None)
@@ -255,7 +265,8 @@ def main(argv=None) -> int:
             resume=args.resume, wave_stats=args.wave_stats,
             compact=args.compact, defer=args.defer_paths,
             wave_limit=args.wave_limit, algo=args.algo,
-            ladder=args.ladder, block_rays=args.block_rays,
+            ladder=args.ladder, ladder_shrink=args.ladder_shrink,
+            block_rays=args.block_rays, pixel_order=args.pixel_order,
             frames_in_flight=args.frames_in_flight,
         )
     run(cfg)
