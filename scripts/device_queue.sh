@@ -81,6 +81,5 @@ run_job() {
 }
 
 # ---- job list (edit per session) -------------------------------------
-run_job ab_cap 3000 python -u scripts/tpu_frame_ab.py 256x256 4 \
-    "bitsru8:2048:4:6:0:morton,bitsru8:2048:4:6:1024:morton,bitsru8:2048:4:6:768:morton,bitsru8:2048:2:6:0:morton,bitsru8:2048:8:6:0:morton"
+run_job wl_sweep 3000 python -u scripts/tpu_wl_sweep.py
 echo "=== $(date +%T) queue done"
