@@ -81,5 +81,5 @@ run_job() {
 }
 
 # ---- job list (edit per session) -------------------------------------
-run_job wl_sweep 3000 python -u scripts/tpu_wl_sweep.py
+run_job bench_final 2400 python -u bench.py
 echo "=== $(date +%T) queue done"

@@ -34,7 +34,8 @@ def main():
                                                render_frame_seeded)
 
     print("backend:", jax.default_backend(), f"{W}x{H} spp={spp}", flush=True)
-    host = HostCompiled(builtin.make_indoor_scene())
+    two_level = any(c.split(":")[0] == "twolevel" for c in combos)
+    host = HostCompiled(builtin.make_indoor_scene(), two_level=two_level)
     scene = jax.device_put(host.render_scene)
     cp = CameraParams.from_camera(builtin.make_indoor_camera(W, H))
 

@@ -439,7 +439,20 @@ def traverse_instanced(host: InstancedHost, origin, direction, t_max,
     """Two-level closest-hit/any-hit traversal over shared object-space
     BLASes.  hit.prim is the mesh-LOCAL leaf-order slot (map through
     host.perms[meta.mesh_of[inst]] for the mesh triangle id)."""
-    it = host.trace
+    return traverse_instanced_arrays(
+        host.trace, jnp.asarray(host.inv3x4), origin, direction, t_max,
+        active, any_hit=any_hit, interpret=interpret,
+        block_rays=block_rays, unroll=unroll)
+
+
+def traverse_instanced_arrays(it: InstancedTrace, inv3x4, origin, direction,
+                              t_max, active, any_hit: bool = False,
+                              interpret: bool = False,
+                              block_rays: int = BLOCK,
+                              unroll: int = 8) -> InstHit:
+    """Array-level entry (used by the integrator's algo="twolevel" mode:
+    the InstancedTrace arrays live in the RenderScene pytree, meta rides
+    as a jit-static)."""
     n = origin.shape[0]
     pad = (-n) % block_rays
     n_pad = n + pad
@@ -459,7 +472,7 @@ def traverse_instanced(host: InstancedHost, origin, direction, t_max,
 
     t_o, r_o, u_o, v_o, i_o = _traverse_instanced_padded(
         it.ltab, it.box_lo, it.box_hi, it.xf_rows, it.inst_lo, it.inst_hi,
-        jnp.asarray(host.inv3x4),
+        jnp.asarray(inv3x4),
         prep(origin[:, 0]), prep(origin[:, 1]), prep(origin[:, 2]),
         prep(direction[:, 0], 1), prep(direction[:, 1], 1),
         prep(direction[:, 2], 1),

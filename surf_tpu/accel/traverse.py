@@ -70,6 +70,17 @@ class TraceArrays(NamedTuple):
     wide_box_hi: jnp.ndarray | None = None   # [3,E] f32
     wide_anc: jnp.ndarray | None = None      # [n_rows,MAXD] i32 root paths
     wide_ltabw: jnp.ndarray | None = None    # [n_pad,128] f32 Baldwin–Weber
+    # algo="twolevel" shared-BLAS instanced tables (accel/pallas_instanced;
+    # built by HostCompiled(two_level=True); None otherwise):
+    inst_ltab: jnp.ndarray | None = None     # concatenated per-mesh tables
+    inst_box_lo: jnp.ndarray | None = None   # [3,E_tot] per-mesh box chains
+    inst_box_hi: jnp.ndarray | None = None
+    inst_xf: jnp.ndarray | None = None       # [I,128] inverse-3x4 rows
+    inst_wlo: jnp.ndarray | None = None      # [3,I] instance world AABBs
+    inst_whi: jnp.ndarray | None = None
+    inst_inv: jnp.ndarray | None = None      # [I,12] inverse 3x4 (phase 1)
+    inst_prim_map: jnp.ndarray | None = None # flat (inst,slot)->leaf slot
+    inst_prim_base: jnp.ndarray | None = None  # [I] offsets into prim_map
 
 
 def pack_records_np(f32_cols, i32_cols) -> np.ndarray:

@@ -91,6 +91,7 @@ class SceneStatic(NamedTuple):
     stack_depth: int
     num_lights: int
     tri_count: int
+    inst_meta: tuple | None = None  # InstancedMeta for algo="twolevel"
 
 
 def _dedupe_materials(scene: Scene):
@@ -114,9 +115,11 @@ class HostCompiled:
     refit — the analog of GPUScene::update's instance+TLAS re-upload,
     scene.cpp:267-282)."""
 
-    def __init__(self, scene: Scene, render_min_leaf: int = 4):
+    def __init__(self, scene: Scene, render_min_leaf: int = 4,
+                 two_level: bool = False):
         self.scene = scene
         self.render_min_leaf = render_min_leaf
+        self.two_level = two_level
         mats, inst_material = _dedupe_materials(scene)
         self.materials = build_material_table(mats)
         self.inst_material = inst_material
@@ -314,6 +317,9 @@ class HostCompiled:
             bg_gradient_a=j(bg.gradient_a),
             bg_gradient_b=j(bg.gradient_b),
         )
+        inst_meta = None
+        if self.two_level:
+            inst_meta = self._attach_instanced(perm)
         # stack_depth is a jit-static; round it up to a sticky multiple of
         # 8 so per-frame rebuilds (whose tree depth wobbles by a level or
         # two) keep an identical RenderConfig and reuse the executable.
@@ -322,7 +328,57 @@ class HostCompiled:
                 "stack_depth", bvh_max_depth(self.bvh) + 2, quantum=8),
             num_lights=len(self.scene.light_indices),
             tri_count=int(len(self.samp_v0)),
+            inst_meta=inst_meta,
         )
+
+    def _attach_instanced(self, perm):
+        """algo="twolevel" tables: shared per-UNIQUE-mesh object-space
+        BLASes + per-instance transforms (accel/pallas_instanced; the
+        reference's TLAS->instance->BLAS shape, bvh.cpp:481-513).  The
+        (inst, mesh-local slot) winner is mapped back to the flattened
+        render BVH's leaf slot so the shading/NEE/diff pipeline is
+        untouched.  Built once (static scenes; animation would need the
+        moved instance's xf/AABB re-uploaded — not wired)."""
+        from ..accel.pallas_instanced import build_instanced_trace
+
+        ih = getattr(self, "_inst_host", None)
+        if ih is None:
+            mesh_ids: dict[int, int] = {}
+            meshes = []
+            insts = []
+            for inst in self.scene.instances:
+                key = id(inst.mesh)
+                if key not in mesh_ids:
+                    mesh_ids[key] = len(meshes)
+                    meshes.append((inst.mesh.v0, inst.mesh.v1, inst.mesh.v2))
+                insts.append((mesh_ids[key], inst.transform,
+                              inst.bounds_min, inst.bounds_max))
+            ih = build_instanced_trace(meshes, insts)
+            self._inst_host = ih
+        meta = ih.trace.meta
+        inv_perm = np.zeros(len(perm), np.int64)
+        inv_perm[perm] = np.arange(len(perm))
+        fm = np.concatenate([
+            inv_perm[self.inst_tri_offset[i] + ih.perms[m]]
+            for i, m in enumerate(meta.mesh_of)
+        ]).astype(np.int32)
+        base = np.concatenate(
+            [[0], np.cumsum([len(ih.perms[m])
+                             for m in meta.mesh_of])])[:-1].astype(np.int32)
+        j = jnp.asarray
+        self.render_scene = self.render_scene._replace(
+            trace=self.render_scene.trace._replace(
+                inst_ltab=ih.trace.ltab,
+                inst_box_lo=ih.trace.box_lo,
+                inst_box_hi=ih.trace.box_hi,
+                inst_xf=ih.trace.xf_rows,
+                inst_wlo=ih.trace.inst_lo,
+                inst_whi=ih.trace.inst_hi,
+                inst_inv=j(ih.inv3x4),
+                inst_prim_map=j(fm),
+                inst_prim_base=j(base),
+            ))
+        return meta
 
     def update(self, delta_time: float, rebuild: bool = False):
         """Advance the scene animation and refresh device arrays.

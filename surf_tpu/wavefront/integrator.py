@@ -87,6 +87,8 @@ class RenderConfig(NamedTuple):
                                     # the pool runs ONCE per frame at pooled
                                     # occupancy, so draining it fully is
                                     # cheap and keeps inflow < outflow)
+    inst_meta: tuple | None = None  # InstancedMeta for algo="twolevel"
+                                    # (from SceneStatic; hashable static)
     compact: bool = False           # partition live paths to the front
     ladder: int = 0                 # width-ladder steps: after live count
                                     # drops below 1/shrink width, retire
@@ -127,6 +129,7 @@ class RenderConfig(NamedTuple):
             width=width, height=height, spp=spp, use_defocus=use_defocus,
             stack_depth=static.stack_depth, num_lights=static.num_lights,
             max_bounces=max_bounces, use_pallas=use_pallas,
+            inst_meta=getattr(static, "inst_meta", None),
         )
 
 
@@ -245,6 +248,33 @@ def _dispatch_traverse(cfg: RenderConfig, trace, origin, direction, t_max,
                        active, any_hit: bool):
     """Select the Pallas packet kernel (TPU perf path) or the XLA lockstep
     walk (CPU/tests) — identical semantics, tested against each other."""
+    if cfg.use_pallas and cfg.algo == "twolevel":
+        # TLAS -> instance -> shared object-space BLAS traversal
+        # (accel/pallas_instanced; reference bvh.cpp:481-513).  The
+        # (inst, mesh-local slot) winner maps through inst_prim_map back
+        # to the flattened leaf slot, so everything downstream (perm,
+        # tri_inst, re-intersection, NEE, gradients) is unchanged.
+        from ..accel.pallas_instanced import (InstancedTrace,
+                                              traverse_instanced_arrays)
+        from ..accel.traverse import Hit
+
+        assert cfg.inst_meta is not None, \
+            "algo='twolevel' needs HostCompiled(two_level=True)"
+        it = InstancedTrace(
+            ltab=trace.inst_ltab, box_lo=trace.inst_box_lo,
+            box_hi=trace.inst_box_hi, xf_rows=trace.inst_xf,
+            inst_lo=trace.inst_wlo, inst_hi=trace.inst_whi,
+            meta=cfg.inst_meta)
+        h = traverse_instanced_arrays(
+            it, trace.inst_inv, origin, direction, t_max, active,
+            any_hit=any_hit, interpret=cfg.pallas_interpret,
+            block_rays=cfg.block_rays)
+        found = h.prim >= 0
+        base = jnp.take(trace.inst_prim_base, jnp.maximum(h.inst, 0))
+        leaf_slot = jnp.take(trace.inst_prim_map,
+                             base + jnp.maximum(h.prim, 0))
+        return Hit(prim=jnp.where(found, leaf_slot, -1),
+                   t=h.t, u=h.u, v=h.v)
     if cfg.use_pallas:
         if cfg.use_wide:
             from ..accel.pallas_wide import WideTrace, traverse_wide

@@ -129,6 +129,42 @@ def test_shared_mesh_memory(setup):
     assert host.trace.ltab.shape[0] == rows_expected  # 3 cube instances, 1 table
 
 
+def test_twolevel_full_render_matches_flattened():
+    """algo="twolevel" as a FULL renderer mode: the two-level instanced
+    traversal drops into the wavefront integrator (winner mapped back to
+    the flattened leaf slot) and reproduces the default path's image up
+    to the documented float-chaos class (object-space MT floats differ
+    from world-space MT)."""
+    import jax
+    import jax.numpy as jnp
+
+    from surf_tpu.scene import builtin
+    from surf_tpu.scene.camera import CameraParams
+    from surf_tpu.scene.compile import HostCompiled
+    from surf_tpu.wavefront import RenderConfig
+    from surf_tpu.wavefront.integrator import (initial_seeds,
+                                               render_frame_seeded)
+
+    h = HostCompiled(builtin.make_diffuse_box_scene(), two_level=True)
+    cam = builtin.make_indoor_camera(24, 24)
+    cp = CameraParams.from_camera(cam)
+    scene = jax.device_put(h.render_scene)
+    base = RenderConfig.for_scene(
+        h.static, 24, 24, 1, use_defocus=True, use_pallas=False,
+    )._replace(max_bounces=None, wave_limit=8, compact=True)
+    tl = base._replace(use_pallas=True, pallas_interpret=True,
+                       algo="twolevel", block_rays=1024)
+    imgs = {}
+    for name, cfg in (("xla", base), ("twolevel", tl)):
+        seed = initial_seeds(cfg, jnp.uint32(0))
+        img, _ = render_frame_seeded(scene, cfg, cp, seed)
+        imgs[name] = np.asarray(img)
+    d = np.abs(imgs["xla"] - imgs["twolevel"]).max(axis=2)
+    assert (d > 1e-3).mean() < 0.01
+    e = imgs["xla"].sum()
+    assert abs(e - imgs["twolevel"].sum()) / abs(e) < 0.005
+
+
 def test_inactive_rays_masked(setup):
     host, _, _, o, d, tm = setup
     act = np.zeros(len(o), bool)
