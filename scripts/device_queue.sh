@@ -81,5 +81,6 @@ run_job() {
 }
 
 # ---- job list (edit per session) -------------------------------------
-run_job bench_final 2400 python -u bench.py
+run_job ab_twolevel 3000 python -u scripts/tpu_frame_ab.py 256x256 4 \
+    "bitsru8:2048:4:6:0:morton,twolevel:2048:4:6"
 echo "=== $(date +%T) queue done"
