@@ -81,6 +81,6 @@ run_job() {
 }
 
 # ---- job list (edit per session) -------------------------------------
-run_job ab_twolevel 3000 python -u scripts/tpu_frame_ab.py 256x256 4 \
-    "bitsru8:2048:4:6:0:morton,twolevel:2048:4:6"
+run_job validate2 2400 python -u scripts/device_validate.py \
+    --algos=bits,bitsr,bitsru8,bitsru8b
 echo "=== $(date +%T) queue done"
