@@ -247,9 +247,79 @@ def config3(scale):
           f"albedo FD={fd:.5f} AD={ad:.5f} rel={rel:.4f} "
           f"|camera grad|={cam_g:.2e} "
           f"fwd={t_fwd:.2f}s grad={t_grad:.2f}s bwd/fwd={ratio:.2f}")
+
+    # ---- tight CRN gate (VERDICT r4 item 5) -----------------------------
+    # The loose few-percent bound above could hide a systematic estimator
+    # bias (a wrong pdf factor on one lobe).  With cfg.rr=False the
+    # estimator has NO discrete decision that moves under a material
+    # perturbation, so the CRN finite difference must converge to the AD
+    # derivative to float32 truncation — measured 2e-5 rel on the box
+    # probe, 0.5-1% on the dielectric probes (whose paths are longer and
+    # noisier in f32).  Probes: largest-|AD| albedo channel on the box
+    # scene; the dielectric material's albedo (Fresnel/spec_trans path)
+    # and absorption (Beer's law medium path) on the indoor scene.
+    def crn_probe(host_, cfg_, targets_, field, idx, hs):
+        fj = jax.jit(lambda a: image_loss(
+            host_.render_scene, cfg_,
+            targets_._replace(**{field: a}), jnp.uint32(0)))
+        b = np.asarray(getattr(targets_, field), np.float64)
+        out = []
+        for hh in hs:
+            bp_ = b.copy(); bp_[idx] += hh
+            bm_ = b.copy(); bm_[idx] -= hh
+            out.append((float(fj(jnp.asarray(bp_, jnp.float32)))
+                        - float(fj(jnp.asarray(bm_, jnp.float32))))
+                       / (2 * hh))
+        return out
+
+    spp_t = max(2, int(8 * scale))
+    cfg_t = cfg._replace(spp=spp_t, rr=False, max_bounces=8)
+    _, grads_t = grad_image_loss(
+        host.render_scene, cfg_t, targets, jnp.uint32(0))
+    ga = np.asarray(grads_t.albedo, np.float64)
+    m_, c_ = np.unravel_index(np.argmax(np.abs(ga)), ga.shape)
+    fds = crn_probe(host, cfg_t, targets, "albedo", (m_, c_), (2e-3, 4e-3))
+    ad_t = ga[m_, c_]
+    rel_t = max(abs(d - ad_t) / (abs(ad_t) + 1e-12) for d in fds)
+    ok_t = rel_t < 0.01
+
+    # dielectric-exercising case (indoor scene: the lens)
+    w2 = max(16, int(24 * scale))
+    host2, _, cp2 = _setup(w2, w2)
+    cfg2 = RenderConfig.for_scene(
+        host2.static, w2, w2, spp_t, use_defocus=True,
+        use_pallas=jax.default_backend() != "cpu",
+    )._replace(max_bounces=8, rr=False)
+    targets2 = DiffTargets.from_scene(host2.render_scene, cp2)
+    refr_tab = np.asarray(host2.materials.refractivity)
+    diel = int(np.argmax(refr_tab))
+    _, grads2 = grad_image_loss(
+        host2.render_scene, cfg2, targets2, jnp.uint32(0))
+    ga2 = np.asarray(grads2.albedo, np.float64)
+    gab2 = np.asarray(grads2.absorption, np.float64)
+    finite2 = bool(np.isfinite(ga2).all() and np.isfinite(gab2).all()
+                   and np.isfinite(np.asarray(grads2.camera.position)).all())
+    ca = int(np.argmax(np.abs(ga2[diel])))
+    cb = int(np.argmax(np.abs(gab2[diel])))
+    fd_da = crn_probe(host2, cfg2, targets2, "albedo", (diel, ca), (4e-3,))[0]
+    fd_db = crn_probe(host2, cfg2, targets2, "absorption", (diel, cb),
+                      (4e-3,))[0]
+    ad_da, ad_db = ga2[diel, ca], gab2[diel, cb]
+    rel_da = abs(fd_da - ad_da) / (abs(ad_da) + 1e-12)
+    rel_db = abs(fd_db - ad_db) / (abs(ad_db) + 1e-12)
+    ok_d = finite2 and rel_da < 0.05 and rel_db < 0.05
+    print(f"config3 tight: {'PASS' if ok_t and ok_d else 'FAIL'} "
+          f"crn_rel={rel_t:.2e} (rr=off) diel_albedo_rel={rel_da:.4f} "
+          f"diel_absorp_rel={rel_db:.4f} diel_finite={finite2}")
+    ok = ok and ok_t and ok_d
     _artifact(3, ok=ok, width=w, height=h, albedo_fd=fd, albedo_ad=ad,
               rel_err=rel, camera_grad_norm=cam_g, grad_time_s=t_grad,
-              forward_s=t_fwd, backward_s=t_bwd, bwd_fwd_ratio=ratio)
+              forward_s=t_fwd, backward_s=t_bwd, bwd_fwd_ratio=ratio,
+              tight_crn_rel=rel_t, tight_spp=spp_t, tight_rr=False,
+              diel_albedo_fd=fd_da, diel_albedo_ad=ad_da,
+              diel_albedo_rel=rel_da, diel_absorp_fd=fd_db,
+              diel_absorp_ad=ad_db, diel_absorp_rel=rel_db,
+              diel_material=diel, diel_grads_finite=finite2)
     return ok
 
 
@@ -325,7 +395,10 @@ def config5(scale):
         )._replace(max_bounces=12)
 
     def cam_for(cfg):
-        c = builtin.make_indoor_camera(cfg.width, cfg.height)
+        # Box-scene camera (not the indoor one): the sweep must measure
+        # representative traversal/shading work per lane, not a frame of
+        # background-gradient misses (ADVICE r4).
+        c = builtin.make_box_camera(cfg.width, cfg.height)
         return CameraParams.from_camera(c)
 
     counts = sorted({c for c in (1, 2, 4, 8, n_dev) if c <= n_dev})

@@ -112,6 +112,14 @@ def build_instanced_trace(meshes, instances) -> InstancedHost:
         box_los.append(lt.box_lo)
         box_his.append(lt.box_hi)
         row_off.append(rows_acc)
+        # The one-hot list contraction encodes row ids as bf16 (row//64,
+        # row%64); the hi part is exact only for row < 16384.  Fail loudly
+        # instead of silently corrupting candidate ids (ADVICE r4).
+        if int(lt.n_rows) > 16384:
+            raise ValueError(
+                f"mesh has {int(lt.n_rows)} leaf rows > 16384 (~131k tris):"
+                " bf16 one-hot row-id contraction would be inexact; use the"
+                " flattened path or chunk the mesh")
         n_rows.append(int(lt.n_rows))
         box_off.append(box_acc)
         szs = [int(lt.n_rows)]
@@ -421,7 +429,16 @@ def _traverse_instanced_padded(ltab, box_lo, box_hi, xf_rows, inst_lo,
     list_spec = pl.BlockSpec((1, cap_tot, LANE), lambda p, s: (p, 0, 0))
     sweep_spec = pl.BlockSpec((ltab.shape[0], LANE), lambda p, s: (0, 0))
     t_l, r_l, u_l, v_l, i_l = call(False, rows3d, list_spec)
-    t_s, r_s, u_s, v_s, i_s = call(True, ltab, sweep_spec)
+    # The full all-instances sweep only runs when some packet's candidate
+    # list actually overflowed (ADVICE r4: unconditional execution made the
+    # sweep — far more rows than the capped lists — a dominant always-paid
+    # cost).  Both branches produce identically shaped outputs; when no
+    # overflow occurred the sweep results are never selected, so the cheap
+    # branch just passes the list results through.
+    t_s, r_s, u_s, v_s, i_s = jax.lax.cond(
+        overflow.any(),
+        lambda: call(True, ltab, sweep_spec),
+        lambda: (t_l, r_l, u_l, v_l, i_l))
 
     ovf = overflow[:, None, None]
 
@@ -458,6 +475,14 @@ def traverse_instanced_arrays(it: InstancedTrace, inv3x4, origin, direction,
     n_pad = n + pad
     g = n_pad // block_rays
     sub = block_rays // LANE
+    # Caps are rounded to multiples of 8 at build time, but the list-kernel
+    # trip clamp floors in UNROLL units — a cap that is not a multiple of
+    # unroll would silently drop candidate rows (ADVICE r4).
+    bad = [c for c in it.meta.caps if c % unroll != 0]
+    if bad:
+        raise ValueError(
+            f"instance caps {bad} not multiples of unroll={unroll}; "
+            "rows past the floored trip would be silently skipped")
 
     direction = jnp.where(
         jnp.abs(direction) < 1e-20,

@@ -1681,6 +1681,12 @@ def _traverse_bits_padded(ltab, box_lo, box_hi, anc,
         # the contraction is exact.
         assert H == 1 and refine_rows <= 0, \
             "row_lists is packet-wide and excludes the t-refresh round"
+        # bf16 (row//64, row%64) id encoding is exact only for row < 16384
+        # (~131k tris); fail loudly rather than mis-render (ADVICE r4).
+        assert L <= 16384, (
+            f"LeafTable has {L} leaf rows > 16384: bf16 one-hot row-id "
+            "contraction would be inexact; use group lists (algo without "
+            "'r') or chunk the scene")
         key = None
         counts = vis.sum(axis=1, dtype=jnp.int32)
         keyr = jnp.cumsum(vis, axis=1, dtype=jnp.int32) - 1

@@ -175,6 +175,23 @@ def make_indoor_camera(width: int, height: int) -> Camera:
     )
 
 
+def make_box_camera(width: int, height: int) -> Camera:
+    """Camera framed on the diffuse-box scene's own geometry (cube at the
+    origin, 20x20 floor at y=-1): pitched down from above so nearly every
+    primary ray hits scene surfaces.  Used by weak-scaling/perf gates so
+    per-lane cost reflects real traversal+shading work (ADVICE r4: the
+    indoor camera left most of the frame on the background gradient)."""
+    return Camera(
+        position=[0.0, 3.0, -6.0],
+        target=[0.0, -1.0, 1.0],
+        screen_width=width,
+        screen_height=height,
+        fov_y=70.0,
+        focal_length=7.0,
+        defocus_angle=0.5,
+    )
+
+
 def make_diffuse_box_scene() -> Scene:
     """BASELINE config 1: cube.obj + plane.obj only, diffuse materials and a
     single emissive cube — the minimal end-to-end slice scene."""

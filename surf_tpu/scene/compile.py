@@ -257,6 +257,13 @@ class HostCompiled:
                 inst_area=j(np.array(
                     [i.area for i in self.scene.instances], np.float32)),
             )
+            if self.two_level and getattr(self, "_inst_host", None):
+                # Instance transforms may have moved; the shared per-mesh
+                # object-space BLASes are animation-invariant but the
+                # per-instance inverse transforms + world AABBs are not
+                # (ADVICE r4: stale _inst_host silently traversed old
+                # transforms on animated scenes).
+                self._refresh_instanced_xf()
             return
         scene = self.scene
         bg = scene.background
@@ -337,11 +344,14 @@ class HostCompiled:
         reference's TLAS->instance->BLAS shape, bvh.cpp:481-513).  The
         (inst, mesh-local slot) winner is mapped back to the flattened
         render BVH's leaf slot so the shading/NEE/diff pipeline is
-        untouched.  Built once (static scenes; animation would need the
-        moved instance's xf/AABB re-uploaded — not wired)."""
+        untouched.  The mesh-level build (shared BLASes, caps, prim maps)
+        is cached; the per-instance transforms/world-AABBs are re-derived
+        from the CURRENT instance state on every attach/refit so animated
+        scenes traverse fresh transforms (ADVICE r4)."""
         from ..accel.pallas_instanced import build_instanced_trace
 
         ih = getattr(self, "_inst_host", None)
+        fresh = ih is None
         if ih is None:
             mesh_ids: dict[int, int] = {}
             meshes = []
@@ -378,7 +388,38 @@ class HostCompiled:
                 inst_prim_map=j(fm),
                 inst_prim_base=j(base),
             ))
+        if not fresh:
+            self._refresh_instanced_xf()
         return meta
+
+    def _refresh_instanced_xf(self):
+        """Re-derive the per-instance arrays of the two-level tables
+        (inverse 3x4 transforms + world AABBs) from the CURRENT instance
+        transforms, updating both the cached InstancedHost and the live
+        RenderScene trace.  O(I) host work; the shared per-mesh tables are
+        untouched (their device buffers are reused)."""
+        ih = self._inst_host
+        insts = self.scene.instances
+        inv3x4 = np.stack([
+            np.linalg.inv(
+                np.asarray(inst.transform, np.float64))[:3, :4]
+            .astype(np.float32).reshape(12)
+            for inst in insts])
+        xf = np.zeros_like(np.asarray(ih.trace.xf_rows))
+        xf[:, :12] = inv3x4
+        ilo = np.stack([inst.bounds_min for inst in insts]).T.copy()
+        ihi = np.stack([inst.bounds_max for inst in insts]).T.copy()
+        j = jnp.asarray
+        trace = ih.trace._replace(
+            xf_rows=j(xf), inst_lo=j(ilo), inst_hi=j(ihi))
+        self._inst_host = ih._replace(trace=trace, inv3x4=inv3x4)
+        self.render_scene = self.render_scene._replace(
+            trace=self.render_scene.trace._replace(
+                inst_xf=trace.xf_rows,
+                inst_wlo=trace.inst_lo,
+                inst_whi=trace.inst_hi,
+                inst_inv=j(inv3x4),
+            ))
 
     def update(self, delta_time: float, rebuild: bool = False):
         """Advance the scene animation and refresh device arrays.
