@@ -114,6 +114,10 @@ class RenderConfig(NamedTuple):
                                     # 2276ms vs 2566 uncompacted vs 2720
                                     # every-wave — commit fb2dd53)
     remat: bool = False             # checkpoint each wave (reverse-mode memory)
+    rr: bool = True                 # Russian roulette (off: FD gradient gate
+                                    # — RR's detached kill boundary is the
+                                    # discrete term that separates FD of the
+                                    # estimator from its AD derivative)
 
     @classmethod
     def for_scene(
@@ -368,6 +372,19 @@ def bounce_step(scene: RenderScene, cfg: RenderConfig, s: PathState) -> PathStat
     alive = alive & ~hit_light
 
     # ---- SHADE (ray_shade.comp:71-189, renderer.cpp:354-459) -------------
+    # Miss lanes re-intersect slot 0 with an unrelated ray: _reintersect's
+    # f = 1/a can make t/u/v +-inf there.  The inf reaches NaN primals
+    # inside masked branches (exp(0 * -inf), normalize(inf*n) = inf/inf),
+    # and although jnp.where masks the PRIMAL, the chain rule multiplies
+    # the zeroed cotangent by the NaN partial — 0*NaN = NaN — which then
+    # scatter-adds into material AND camera gradients (measured: NaN AD
+    # for the dielectric/specular rows on the indoor scene at
+    # max_bounces>=3, round 5).  Every downstream consumer is masked by
+    # alive ⊆ found, so substituting neutral values on miss lanes is
+    # primal-identical and keeps every partial finite.
+    t = jnp.where(found, t, jnp.float32(0.0))
+    u = jnp.where(found, u, jnp.float32(0.25))
+    v = jnp.where(found, v, jnp.float32(0.25))
     medium_scale = jnp.where(
         s.in_medium[:, None],
         jnp.exp(jnp.take(scene.mat_absorption, mat, axis=0) * -t[:, None]),
@@ -404,7 +421,14 @@ def bounce_step(scene: RenderScene, cfg: RenderConfig, s: PathState) -> PathStat
     new_last_spec = jnp.where(m_spec, True, new_last_spec)
 
     # dielectric with Schlick Fresnel (renderer.cpp:376-406)
-    ior = jnp.take(scene.mat_ior, mat)
+    # Non-dielectric materials carry ior = 0, so n2 = 0 on their lanes and
+    # ior_ratio = inf -> refract_dir partials are inf; the masked where's
+    # backward multiplies the zeroed cotangent by that inf partial (0*inf
+    # = NaN) and the NaN rides the DIRECTION cotangent back through every
+    # earlier wave, poisoning camera + all-material gradients (measured on
+    # the indoor scene at max_bounces>=3, round 5).  ior is only consumed
+    # on m_diel lanes, so substituting 1 elsewhere is primal-identical.
+    ior = jnp.where(m_diel, jnp.take(scene.mat_ior, mat), jnp.float32(1.0))
     n1 = jnp.where(s.in_medium, ior, jnp.float32(1.0))
     n2 = jnp.where(s.in_medium, jnp.float32(1.0), ior)
     ior_ratio = n1 / n2
@@ -445,14 +469,35 @@ def bounce_step(scene: RenderScene, cfg: RenderConfig, s: PathState) -> PathStat
         )
 
     # Russian roulette (renderer.cpp:446-454); termination detached.
+    # cfg.rr=False disables the kill AND the 1/p compensation (the RNG
+    # draw is still consumed so all other streams are unchanged): used by
+    # the tight FD gradient gate, where RR's detached decision boundary is
+    # the one discrete term that makes finite differences of the estimator
+    # diverge from its AD derivative (VERDICT r4 item 5).
     p = jnp.clip(jnp.max(s.transmission, axis=1), 0.0, 1.0)
     seed, r_rr = rng.next_f32_masked(seed, m_diff)
-    rr_kill = m_diff & (sg(p) < r_rr)
+    rr_kill = (m_diff & (sg(p) < r_rr) if cfg.rr
+               else jnp.zeros_like(m_diff))
     alive = alive & ~rr_kill
     m_diff_live = m_diff & ~rr_kill
-    diffuse_pdf = cos_theta * F32_INV_PI
+    # diff_trans is only consumed under m_diff_live, but non-diffuse lanes
+    # have cos_dir = 0 -> diffuse_pdf = 0 -> inv_pdf = inf, and the masked
+    # where's backward turns 0*inf into NaN cotangents that scatter-add
+    # into the SPECULAR/DIELECTRIC materials' albedo rows (measured NaN AD
+    # on the indoor scene, round 5).  Substituting pdf 1 on non-diffuse
+    # lanes is primal-identical and keeps every cotangent finite.
+    diffuse_pdf = jnp.where(m_diff, cos_theta * F32_INV_PI, jnp.float32(1.0))
     inv_pdf = jnp.float32(1.0) / diffuse_pdf
-    rr_scale = jnp.float32(1.0) / sg(p)
+    # p can be EXACTLY 0 on still-alive diffuse lanes (albedos with zero
+    # channels zero the transmission product: e.g. a red wall then a green
+    # wall), making rr_scale = inf and diff_trans = 0*inf = NaN in the
+    # rr_kill-masked branch — another 0*NaN cotangent poison (the wave-2
+    # NaN lanes measured in round 5 had transmission == 0).  Such lanes
+    # are RR-killed with certainty (sg(0) < r_rr), so clamping the
+    # detached divisor is primal-identical outside f32-denormal paths.
+    rr_scale = jnp.float32(1.0) / sg(
+        jnp.where(m_diff, jnp.maximum(p, jnp.float32(1e-12)),
+                  jnp.float32(1.0))) if cfg.rr else jnp.ones_like(p)
     diff_trans = (
         s.transmission
         * cos_theta[:, None] * inv_pdf[:, None] * brdf

@@ -39,6 +39,70 @@ def test_scalar_vs_vectorized_oracle_bitlevel(box):
     assert np.abs(img_s - img_v).max() < 1e-5
 
 
+def test_scalar_vs_vectorized_branch_pixels(indoor):
+    """Bit-level scalar-vs-vectorized agreement on pixels that PROVABLY
+    exercise the dielectric (Fresnel/refract/medium), specular, NEE and RR
+    branches (VERDICT r4 item 6): the indoor scene's lens, mirror cubes and
+    diffuse walls, selected by classifying each pixel's first hit with the
+    oracle's own primary rays.  The original 8x8 box test only covers these
+    branches statistically."""
+    import surf_tpu.reference.rng_np as R
+
+    W = H = 48
+    cam = builtin.make_indoor_camera(W, H)
+    orc = OracleRenderer(indoor, cam)
+    host = indoor
+
+    # Classify every pixel by its first-hit material lobe.
+    lane = np.arange(W * H, dtype=np.int64)
+    py, px = np.divmod(lane, W)
+    seed = R.pixel_seed(lane, 0)
+    seed, o, d = orc._primary_rays(seed, px, py)
+    prim, _, _, _ = orc._closest(
+        o, d, np.full(W * H, 1e30, np.float32), np.ones(W * H, bool))
+    found = prim >= 0
+    inst = host.tri_inst[np.maximum(prim, 0)]
+    mat = host.inst_material[inst]
+    refl = host.materials.reflectivity[mat]
+    refr = host.materials.refractivity[mat]
+    classes = {
+        "dielectric": found & (refr > 0),
+        "specular": found & (refl > 0) & (refr == 0),
+        "diffuse_nee_rr": found & (refl == 0) & (refr == 0)
+        & ~host.materials.is_light[mat],
+    }
+    pixels = []
+    for name, mask in classes.items():
+        idx = np.where(mask)[0]
+        assert len(idx), f"no pixel hits a {name} surface at {W}x{H}"
+        # median index = most central candidate (robust to AA jitter)
+        pixels.append(int(idx[len(idx) // 2]))
+
+    spp = 4
+    sel = np.asarray(pixels, np.int64)
+    sel_py, sel_px = np.divmod(sel, W)
+
+    # Vectorized oracle on exactly those lanes (per-pixel streams are
+    # independent, so a lane subset is the same computation).
+    seed_v = R.pixel_seed(sel, 0)
+    acc_v = np.zeros((len(sel), 3), np.float32)
+    for _ in range(spp):
+        seed_v, o_v, d_v = orc._primary_rays(seed_v, sel_px, sel_py)
+        seed_v, e_v = orc._trace(seed_v, o_v, d_v)
+        acc_v += e_v
+
+    # Literal scalar transcription, pixel at a time.
+    sr = ScalarRenderer(host, cam)
+    acc_s = np.zeros((len(sel), 3), np.float32)
+    for k, (x, y) in enumerate(zip(sel_px, sel_py)):
+        sr.seed = int(R.pixel_seed(int(x) + int(y) * W, 0))
+        for _ in range(spp):
+            o_s, d_s = sr._primary_ray(int(x), int(y))
+            acc_s[k] += sr.trace(o_s, d_s)
+
+    assert np.abs(acc_s - acc_v).max() < 1e-4, (pixels, acc_s, acc_v)
+
+
 def test_wavefront_matches_oracle_box(box):
     """Config-1-shaped gate: diffuse box scene, fixed seed, thin-lens camera;
     the jitted wavefront renderer must match the NumPy oracle closely

@@ -212,6 +212,35 @@ def test_sharded_session_place_once(setup):
     assert not np.array_equal(a, c)
 
 
+def test_allreduce_count_independent_of_lane_count(setup):
+    """Scaling the image (lane count) must not change the NUMBER of
+    cross-chip collectives in the compiled train step — gradient
+    all-reduces are per-target-tensor, not per-lane-shard (VERDICT r4
+    item 7: pin the collective structure the weak-scaling gate relies
+    on).  A sharding regression that inserted per-lane-chunk collectives
+    (e.g. resharding inside the wave loop) would show up as a count that
+    grows with width."""
+    from surf_tpu.dist import grad_step_compiled, make_mesh_2d
+
+    host, cam, _ = setup
+    counts = {}
+    for W in (16, 32):
+        cfg = RenderConfig.for_scene(
+            host.static, W, 16, 1, use_defocus=True
+        )._replace(max_bounces=4)
+        targets = DiffTargets.from_scene(
+            host.render_scene,
+            CameraParams.from_camera(builtin.make_indoor_camera(W, 16)),
+        )
+        compiled, _ = grad_step_compiled(
+            host.render_scene, cfg, targets, jnp.uint32(0), make_mesh_2d(2, 4)
+        )
+        text = compiled.as_text()
+        counts[W] = text.count("all-reduce-start") or text.count("all-reduce(")
+        assert counts[W] > 0, "expected at least one gradient all-reduce"
+    assert counts[16] == counts[32], counts
+
+
 def test_uneven_lane_count_rejected(setup):
     host, cam, cfg = setup
     bad_cfg = cfg._replace(width=15, height=3)  # 45 lanes, not divisible by 8
