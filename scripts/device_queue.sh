@@ -81,6 +81,6 @@ run_job() {
 }
 
 # ---- job list (edit per session) -------------------------------------
-run_job validate2 2400 python -u scripts/device_validate.py \
-    --algos=bits,bitsr,bitsru8,bitsru8b
+run_job fixedprof2 3600 python -u scripts/tpu_fixed_profile.py
+run_job twolevelp_ab 5400 python -u scripts/tpu_twolevelp_ab.py
 echo "=== $(date +%T) queue done"

@@ -1,36 +1,35 @@
 #!/usr/bin/env python
-"""Per-sample FIXED-block decomposition (VERDICT r4 item 1).
+"""Per-sample FIXED-block decomposition, v2 (VERDICT r4 item 1).
 
-Round-4 established that at 256^2@1spp roughly a third of the frame is
-not marginal traversal (tpu_wl_sweep: wl=1 52.6 ms vs ~17-20 ms marginal
-wave), but nobody split that block below the wave level.  This harness
-ablates one stage at a time and reports a ms-level attribution table:
+v1 measured absolute one-shot jits and was tunnel-floor-contaminated:
+the remote-TPU dispatch latency (~20-25 ms per block_until_ready) rode
+on every small measurement (raygen-only read 23.8 ms — the floor, not
+the op).  v2 uses DIFFS that cancel the floor:
 
-  raygen         jitted ray_generation alone (RNG + AA jitter + rejection
-                 -sampled defocus disk)
-  extend0        primary closest-hit traversal alone on raygen output
-  wl0_nolad      wave_limit=0, ladder=0: raygen + frame scaffolding
-                 (pixel-order restore scatter, spp fori, accumulate)
-  wl0            wave_limit=0, bench ladder: + ladder scaffolding (per-rung
-                 compact_paths + banked retirement scatters) paid even with
-                 zero waves
-  wl1_nolad      + wave 0 (compact + extend + shade + NEE + connect)
-  wl1_nolad_nonee  wave 0 with num_lights=0 (no NEE sampling, no connect
-                 traversal) -> isolates the connect share of wave 0
-  wl2_nolad      + wave 1 (marginal full-occupancy wave, no ladder)
-  full           bench config (wl=32, ladder) for reference
+  per-sample cost of a stage = t(spp=2, cfg) - t(spp=1, cfg)
+  within-sample structure    = t(wl=k) - t(wl=k-1)  (same dispatch shape)
 
-Derived lines printed at the end:
-  frame scaffolding   = wl0_nolad - raygen
-  ladder scaffolding  = wl0 - wl0_nolad
-  wave0 total         = wl1_nolad - wl0_nolad
-  wave0 connect+NEE   = wl1_nolad - wl1_nolad_nonee
-  wave0 extend+shade  = wl1_nolad_nonee - wl0_nolad
-  marginal wave       = wl2_nolad - wl1_nolad
+Stages ablated (256^2, indoor, bench config base):
+  null            trivial jit -> the dispatch floor itself (reported)
+  full            bench config (wl=32, ladder6/2, morton, ce4)
+  wl0             wave_limit=0 (raygen + ladder scaffolding + restore)
+  wl0_nolad       wave_limit=0, ladder=0 (raygen + restore only)
+  wl0_nolad_nodf  + use_defocus=False (no defocus-disk rejection loop)
+  wl1_nolad       + wave 0
+  wl1_nolad_nonee wave 0 without NEE/connect
+  wl2_nolad       + wave 1 (marginal full-occupancy wave)
 
-Timing protocol: every config warmed, then rounds INTERLEAVED (the
-first-measured-after-idle kernel reads ~100x fast on the axon tunnel);
-min over rounds, absolute values only compared within this run.
+Derived per-sample table (all spp-diffs, tunnel-free):
+  raygen+restore      = d(wl0_nolad)
+  defocus rejection   = d(wl0_nolad) - d(wl0_nolad_nodf)
+  ladder scaffolding  = d(wl0) - d(wl0_nolad)
+  wave0 total         = d(wl1_nolad) - d(wl0_nolad)
+  wave0 connect+NEE   = d(wl1_nolad) - d(wl1_nolad_nonee)
+  marginal wave       = d(wl2_nolad) - d(wl1_nolad)
+  per-sample total    = d(full)
+
+Timing: every config warmed at both spp, rounds interleaved (the
+first-after-idle ~100x artifact), min over rounds, diffs within one run.
 
 Run: timeout 3600 python -u scripts/tpu_fixed_profile.py
 """
@@ -50,8 +49,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--scene", default="indoor", choices=["indoor", "box"])
-    ap.add_argument("--cpu", action="store_true",
-                    help="smoke-test on CPU (interpret-mode Pallas)")
+    ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
         from surf_tpu.utils import force_cpu
@@ -62,77 +60,56 @@ def main():
     import numpy as np
 
     from surf_tpu.scene import builtin
-    from surf_tpu.scene.camera import CameraParams, view_plane_jnp
+    from surf_tpu.scene.camera import CameraParams
     from surf_tpu.scene.compile import HostCompiled
     from surf_tpu.wavefront import RenderConfig
-    from surf_tpu.wavefront.integrator import (
-        initial_seeds, lane_pixel_perm, ray_generation, render_frame_seeded,
-        _dispatch_traverse)
+    from surf_tpu.wavefront.integrator import (initial_seeds,
+                                               render_frame_seeded)
 
     W = H = args.size
-    print("backend:", jax.default_backend(), f"{W}x{H} 1spp", flush=True)
+    print("backend:", jax.default_backend(), f"{W}x{H}", flush=True)
     host = HostCompiled(builtin.make_indoor_scene() if args.scene == "indoor"
                         else builtin.make_diffuse_box_scene())
     scene = jax.device_put(host.render_scene)
     cp = CameraParams.from_camera(builtin.make_indoor_camera(W, H))
 
-    def base_cfg(**kw):
+    def base_cfg(spp, **kw):
         cfg = RenderConfig.for_scene(
-            host.static, W, H, 1, use_defocus=True,
+            host.static, W, H, spp, use_defocus=True,
             use_pallas=not args.cpu,
         )._replace(max_bounces=None, compact=True, compact_every=4,
                    block_rays=2048, ladder=6, ladder_shrink=2,
                    pixel_order="morton", wave_limit=32)
         return cfg._replace(**kw)
 
-    cfgs = {
-        "full": base_cfg(),
-        "wl0": base_cfg(wave_limit=0),
-        "wl0_nolad": base_cfg(wave_limit=0, ladder=0),
-        "wl1_nolad": base_cfg(wave_limit=1, ladder=0),
-        "wl1_nolad_nonee": base_cfg(wave_limit=1, ladder=0, num_lights=0),
-        "wl2_nolad": base_cfg(wave_limit=2, ladder=0),
+    variants = {
+        "full": {},
+        "wl0": dict(wave_limit=0),
+        "wl0_nolad": dict(wave_limit=0, ladder=0),
+        "wl0_nolad_nodf": dict(wave_limit=0, ladder=0, use_defocus=False),
+        "wl1_nolad": dict(wave_limit=1, ladder=0),
+        "wl1_nolad_nonee": dict(wave_limit=1, ladder=0, num_lights=0),
+        "wl2_nolad": dict(wave_limit=2, ladder=0),
     }
 
     fns = {}
-    for name, cfg in cfgs.items():
-        def frame(total_samples, cfg=cfg):
-            seed = initial_seeds(cfg, total_samples)
-            img, _ = render_frame_seeded(scene, cfg, cp, seed)
-            return img
-        fns[name] = frame
+    for name, kw in variants.items():
+        for spp in (1, 2):
+            cfg = base_cfg(spp, **kw)
 
-    # raygen alone (jitted separately; includes the morton lane gather of
-    # the seed stream exactly as render_sample pays it)
-    cfg0 = cfgs["full"]
-    vp = view_plane_jnp(cp, W, H)
-    perm = lane_pixel_perm(cfg0)
-    px = (perm % W).astype(jnp.int32)
-    py = (perm // W).astype(jnp.int32)
+            def frame(total_samples, cfg=cfg):
+                seed = initial_seeds(cfg, total_samples)
+                img, _ = render_frame_seeded(scene, cfg, cp, seed)
+                return img
+            fns[f"{name}@{spp}"] = frame
+
+    zeros = jnp.zeros(W * H, jnp.uint32)
 
     @jax.jit
-    def rg(total_samples):
-        seed = initial_seeds(cfg0, total_samples)
-        seed_lane = jnp.take(seed, perm)
-        return ray_generation(cfg0, vp, seed_lane, px, py)
+    def null(total_samples):
+        return zeros + total_samples
 
-    fns["raygen"] = rg
-
-    # primary extend alone: raygen output (regenerated in-jit so the whole
-    # thing is one dispatch) -> closest-hit traversal
-    @jax.jit
-    def ext(total_samples):
-        seed = initial_seeds(cfg0, total_samples)
-        seed_lane = jnp.take(seed, perm)
-        s2, o, d = ray_generation(cfg0, vp, seed_lane, px, py)
-        n = o.shape[0]
-        hit = _dispatch_traverse(
-            cfg0, scene.trace, o, d,
-            jnp.full(n, np.float32(1e30)), jnp.ones(n, bool),
-            any_hit=False)
-        return hit.t, hit.prim
-
-    fns["raygen_extend0"] = ext
+    fns["null"] = null
 
     order = list(fns)
     for name in order:
@@ -145,34 +122,33 @@ def main():
     for rnd in range(ROUNDS):
         for name in order:
             t0 = time.perf_counter()
-            out = jax.block_until_ready(fns[name](jnp.uint32(rnd + 1)))
+            jax.block_until_ready(fns[name](jnp.uint32(rnd + 1)))
             times[name].append(time.perf_counter() - t0)
-        if rnd == 0:
-            for name in ("full", "wl1_nolad"):
-                e = float(np.asarray(fns[name](jnp.uint32(1))).sum())
-                print(f"  {name}: energy {e:.1f}", flush=True)
-
     best = {n: min(ts) * 1e3 for n, ts in times.items()}
+
     print("\n-- raw (min of %d interleaved rounds, ms) --" % ROUNDS)
     for n in order:
-        print(f"  {n:18s} {best[n]:8.2f}")
+        print(f"  {n:20s} {best[n]:8.2f}")
 
-    d = {}
-    d["raygen"] = best["raygen"]
-    d["extend0_incl_raygen"] = best["raygen_extend0"]
-    d["frame_scaffolding"] = best["wl0_nolad"] - best["raygen"]
-    d["ladder_scaffolding"] = best["wl0"] - best["wl0_nolad"]
-    d["wave0_total"] = best["wl1_nolad"] - best["wl0_nolad"]
-    d["wave0_connect_nee"] = best["wl1_nolad"] - best["wl1_nolad_nonee"]
-    d["wave0_extend_shade"] = best["wl1_nolad_nonee"] - best["wl0_nolad"]
-    d["marginal_wave"] = best["wl2_nolad"] - best["wl1_nolad"]
-    d["full_frame"] = best["full"]
-    print("\n-- attribution (ms) --")
-    for k, v in d.items():
-        print(f"  {k:20s} {v:8.2f}")
+    def d(name):  # tunnel-free per-sample cost of a variant
+        return best[f"{name}@2"] - best[f"{name}@1"]
+
+    a = {}
+    a["dispatch_floor(null)"] = best["null"]
+    a["raygen_restore"] = d("wl0_nolad")
+    a["defocus_rejection"] = d("wl0_nolad") - d("wl0_nolad_nodf")
+    a["ladder_scaffolding"] = d("wl0") - d("wl0_nolad")
+    a["wave0_total"] = d("wl1_nolad") - d("wl0_nolad")
+    a["wave0_connect_nee"] = d("wl1_nolad") - d("wl1_nolad_nonee")
+    a["marginal_wave"] = d("wl2_nolad") - d("wl1_nolad")
+    a["per_sample_total"] = d("full")
+    a["frame_wl32_spp1"] = best["full@1"]
+    print("\n-- per-sample attribution (spp-diffs, ms) --")
+    for k, v in a.items():
+        print(f"  {k:22s} {v:8.2f}")
     with open("out_configs/fixed_profile.json", "w") as f:
-        json.dump({"raw_ms": best, "attrib_ms": d,
-                   "shape": f"{W}x{H}@1spp", "rounds": ROUNDS}, f, indent=1)
+        json.dump({"raw_ms": best, "per_sample_ms": a,
+                   "shape": f"{W}x{H}", "rounds": ROUNDS}, f, indent=1)
     print("\nwrote out_configs/fixed_profile.json", flush=True)
 
 

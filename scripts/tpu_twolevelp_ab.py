@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Device A/B: pure two-level rendering (algo="twolevelp") vs the
+flattened default on the high-instance stress scene (VERDICT r4 item 3).
+
+Three measurements:
+ 1. stress(n=32, susanne ~15.7k tris/mesh): flattened = 504k stored tris
+    / ~355 MB device tables (past the ~300k phase-1 cliff, DESIGN.md 4a)
+    vs twolevelp = ONE 15.7k-tri shared mesh / ~2 MB.  Times + image
+    agreement.
+ 2. stress(n=200): 3.1M effective tris — the flattened compile is beyond
+    the sweep-fallback VMEM bound and a multi-GB upload; ONLY twolevelp
+    renders it.  Time + finite-energy check (the capacity claim).
+ 3. indoor scene (11 instances, low instance win): honest unfavorable
+    case, flattened vs twolevelp.
+
+Run: timeout 5400 python -u scripts/tpu_twolevelp_ab.py
+"""
+import json
+import sys
+import time
+import warnings
+
+import numpy as np
+
+warnings.filterwarnings("ignore")
+sys.path.insert(0, ".")
+
+W = H = 256
+SPP = 2
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from surf_tpu.scene import builtin
+    from surf_tpu.scene.camera import CameraParams
+    from surf_tpu.scene.compile import HostCompiled
+    from surf_tpu.wavefront import RenderConfig
+    from surf_tpu.wavefront.integrator import (initial_seeds,
+                                               render_frame_seeded)
+
+    print("backend:", jax.default_backend(), f"{W}x{H}@{SPP}spp", flush=True)
+
+    def nbytes(rs):
+        return sum(x.nbytes for x in jax.tree.leaves(rs)
+                   if hasattr(x, "nbytes"))
+
+    def bench(host, cam, algo, rounds=3):
+        cfg = RenderConfig.for_scene(
+            host.static, W, H, SPP, use_defocus=True, use_pallas=True,
+        )._replace(max_bounces=None, wave_limit=32, compact=True,
+                   compact_every=4, block_rays=2048, ladder=6,
+                   ladder_shrink=2, pixel_order="morton", algo=algo)
+        scene = jax.device_put(host.render_scene)
+        cp = CameraParams.from_camera(cam)
+
+        def frame(ts):
+            seed = initial_seeds(cfg, ts)
+            img, _ = render_frame_seeded(scene, cfg, cp, seed)
+            return img
+
+        t0 = time.perf_counter()
+        img = jax.block_until_ready(frame(jnp.uint32(0)))
+        print(f"  {algo}: compiled+warm {time.perf_counter()-t0:.1f}s",
+              flush=True)
+        best = 1e30
+        for r in range(rounds):
+            t0 = time.perf_counter()
+            img = jax.block_until_ready(frame(jnp.uint32((r + 1) * SPP)))
+            best = min(best, time.perf_counter() - t0)
+        return np.asarray(img), best * 1e3
+
+    out = {}
+
+    # ---- 1. stress n=32: both paths --------------------------------------
+    n = 32
+    print(f"== stress n={n} ==", flush=True)
+    cam = builtin.make_stress_camera(W, H, n)
+    t0 = time.time()
+    hf = HostCompiled(builtin.make_instanced_stress_scene(n))
+    t_build_f = time.time() - t0
+    t0 = time.time()
+    hp = HostCompiled(builtin.make_instanced_stress_scene(n),
+                      two_level="pure")
+    t_build_p = time.time() - t0
+    bf, bp = nbytes(hf.render_scene), nbytes(hp.render_scene)
+    print(f"  build: flat {t_build_f:.1f}s/{bf/1e6:.0f}MB  "
+          f"pure {t_build_p:.1f}s/{bp/1e6:.1f}MB", flush=True)
+    # NOTE: the flattened side runs GROUP lists ("bits", no r/u8): at 504k
+    # stored tris the exact-row-list bf16 id encoding bound (16384 rows)
+    # trips — itself a structural point: the flattened fast path stops at
+    # ~131k tris while twolevelp keeps per-MESH rows small forever.
+    img_f, t_f = bench(hf, cam, "bits")
+    del hf
+    img_p, t_p = bench(hp, cam, "twolevelp")
+    d = np.abs(img_f - img_p).max(axis=2)
+    div = float((d > 1e-3).mean())
+    erel = float(abs(img_f.sum() - img_p.sum()) / abs(img_f.sum()))
+    print(f"  flat {t_f:.0f} ms vs twolevelp {t_p:.0f} ms "
+          f"({t_f/t_p:.2f}x); divergent {div:.4f} energy_rel {erel:.5f}",
+          flush=True)
+    out["stress32"] = dict(flat_ms=t_f, pure_ms=t_p, speedup=t_f / t_p,
+                           divergent=div, energy_rel=erel,
+                           flat_bytes=bf, pure_bytes=bp,
+                           flat_build_s=t_build_f, pure_build_s=t_build_p)
+    del hp
+
+    # ---- 2. stress n=200: pure only (capacity) ---------------------------
+    n = 200
+    print(f"== stress n={n} (3.1M effective tris; flattened impractical: "
+          "sweep-fallback VMEM bound, bf16 row-list bound, multi-GB "
+          "upload) ==", flush=True)
+    cam = builtin.make_stress_camera(W, H, n)
+    t0 = time.time()
+    # cap 128 rows/(packet,instance): the phase-2 gather buffer scales as
+    # packets x sum(caps); 201 x 512 would be 1.7 GB per traversal.
+    hp = HostCompiled(builtin.make_instanced_stress_scene(n),
+                      two_level="pure", inst_cap=128)
+    t_build = time.time() - t0
+    bp = nbytes(hp.render_scene)
+    print(f"  build {t_build:.1f}s, {bp/1e6:.1f} MB device", flush=True)
+    img, t_p200 = bench(hp, cam, "twolevelp")
+    e = float(img.sum())
+    okcap = bool(np.isfinite(img).all() and e > 0)
+    print(f"  twolevelp {t_p200:.0f} ms, energy {e:.0f}, ok={okcap}",
+          flush=True)
+    out["stress200"] = dict(pure_ms=t_p200, energy=e, ok=okcap,
+                            pure_bytes=bp, build_s=t_build,
+                            effective_tris=int(200 * 15744))
+    del hp
+
+    # ---- 3. indoor: honest unfavorable case ------------------------------
+    print("== indoor (11 instances — flattened's home turf) ==", flush=True)
+    cam = builtin.make_indoor_camera(W, H)
+    hf = HostCompiled(builtin.make_indoor_scene())
+    img_f, t_f = bench(hf, cam, "bitsru8")
+    del hf
+    hp = HostCompiled(builtin.make_indoor_scene(), two_level="pure")
+    img_p, t_p = bench(hp, cam, "twolevelp")
+    d = np.abs(img_f - img_p).max(axis=2)
+    div = float((d > 1e-3).mean())
+    erel = float(abs(img_f.sum() - img_p.sum()) / abs(img_f.sum()))
+    print(f"  flat {t_f:.0f} ms vs twolevelp {t_p:.0f} ms; "
+          f"divergent {div:.4f} energy_rel {erel:.5f}", flush=True)
+    out["indoor"] = dict(flat_ms=t_f, pure_ms=t_p, divergent=div,
+                         energy_rel=erel)
+
+    with open("out_configs/twolevelp_ab.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote out_configs/twolevelp_ab.json", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -89,10 +89,15 @@ class InstancedHost(NamedTuple):
     inv3x4: np.ndarray      # [I, 12]
 
 
-def build_instanced_trace(meshes, instances) -> InstancedHost:
+def build_instanced_trace(meshes, instances,
+                          cap_per_inst: int = CAP_PER_INST) -> InstancedHost:
     """meshes: list of (v0, v1, v2) object-space triangle SoA arrays.
     instances: list of (mesh_index, transform4x4, world_lo, world_hi);
-    world bounds may be None to derive from the 8 transformed corners."""
+    world bounds may be None to derive from the 8 transformed corners.
+    ``cap_per_inst`` bounds each (packet, instance) candidate list — the
+    phase-2 gather buffer scales as packets x sum(caps) x 512 B, so high
+    instance counts want a smaller cap (overflow falls back to the
+    cond-gated all-rows sweep)."""
     tabs, box_los, box_his = [], [], []
     row_off, n_rows, box_off, sizes_all = [], [], [], []
     perms, leaf_meshes = [], []
@@ -156,7 +161,7 @@ def build_instanced_trace(meshes, instances) -> InstancedHost:
             wlo, whi = w.min(axis=0), w.max(axis=0)
         ilo.append(np.asarray(wlo, np.float32))
         ihi.append(np.asarray(whi, np.float32))
-        cap = min(-(-n_rows[mi] // 8) * 8, CAP_PER_INST)
+        cap = min(-(-n_rows[mi] // 8) * 8, cap_per_inst)
         caps.append(int(cap))
     inv3x4 = np.stack(inv3x4)
     xf_rows = np.zeros((len(instances), LANE), np.float32)

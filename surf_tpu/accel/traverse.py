@@ -81,6 +81,12 @@ class TraceArrays(NamedTuple):
     inst_inv: jnp.ndarray | None = None      # [I,12] inverse 3x4 (phase 1)
     inst_prim_map: jnp.ndarray | None = None # flat (inst,slot)->leaf slot
     inst_prim_base: jnp.ndarray | None = None  # [I] offsets into prim_map
+    # algo="twolevelp" pure object-space mode (HostCompiled(
+    # two_level="pure")): no flattened arrays exist; hits are resolved in
+    # (instance, object-tri) space (reference bvh.cpp:481-513 end-to-end).
+    inst_obj_base: jnp.ndarray | None = None   # [I] base into obj_* arrays
+    inst_slot_perm: jnp.ndarray | None = None  # [Tu] mesh-local leaf slot
+    #                                          #   -> mesh-local original id
 
 
 def pack_records_np(f32_cols, i32_cols) -> np.ndarray:

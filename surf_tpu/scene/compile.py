@@ -83,6 +83,19 @@ class RenderScene(NamedTuple):
     bg_color: jnp.ndarray      # [3]
     bg_gradient_a: jnp.ndarray # [3]
     bg_gradient_b: jnp.ndarray # [3]
+    # algo="twolevelp" pure object-space shading set (O(unique mesh tris);
+    # HostCompiled(two_level="pure") — the reference's end-to-end
+    # instancing shape, bvh.cpp:481-594: SHARED object-space meshes +
+    # per-instance transforms, no flattened world-space duplication).
+    # Arrays are in ORIGINAL mesh-tri order, concatenated per unique mesh;
+    # trace.inst_obj_base[i] is instance i's base offset.
+    obj_v0: jnp.ndarray | None = None   # [Tu,3] object-space vertices
+    obj_v1: jnp.ndarray | None = None
+    obj_v2: jnp.ndarray | None = None
+    obj_n0: jnp.ndarray | None = None   # [Tu,3] object-space normals
+    obj_n1: jnp.ndarray | None = None
+    obj_n2: jnp.ndarray | None = None
+    inst_fwd: jnp.ndarray | None = None  # [I,12] forward 3x4 rows (affine)
 
 
 class SceneStatic(NamedTuple):
@@ -116,13 +129,23 @@ class HostCompiled:
     scene.cpp:267-282)."""
 
     def __init__(self, scene: Scene, render_min_leaf: int = 4,
-                 two_level: bool = False):
+                 two_level: bool | str = False, inst_cap: int | None = None):
         self.scene = scene
         self.render_min_leaf = render_min_leaf
-        self.two_level = two_level
+        self.inst_cap = inst_cap  # per-(packet,instance) candidate cap
+        # two_level=True: instanced TRAVERSAL, flattened shading (hits map
+        # back through inst_prim_map).  two_level="pure": instanced
+        # end-to-end — O(unique mesh tris) device memory, no flattened
+        # build at all (algo="twolevelp"); the only O(sum instance tris)
+        # cost left is the host-side area/bounds pass per instance.
+        self.pure = two_level == "pure"
+        self.two_level = bool(two_level)
         mats, inst_material = _dedupe_materials(scene)
         self.materials = build_material_table(mats)
         self.inst_material = inst_material
+        if self.pure:
+            self._build_pure()
+            return
 
         v0s, v1s, v2s, n0s, n1s, n2s = [], [], [], [], [], []
         uv0s, uv1s, uv2s = [], [], []
@@ -149,6 +172,111 @@ class HostCompiled:
         )
         self._caps: dict[str, int] = {}
         self._rebuild_bvh()
+        self._seen_version = scene.version
+
+    def _build_pure(self):
+        """Pure two-level compile (algo="twolevelp"): shared per-unique-mesh
+        object-space tables + per-instance transforms, O(unique mesh tris)
+        device memory end-to-end (the reference's instancing shape,
+        bvh.cpp:481-594).  No flattened BVH, wide stream, leaf table or
+        samp_* duplication is built or uploaded — shading re-derives world
+        geometry per lane from 12 transform scalars."""
+        from ..accel.pallas_instanced import build_instanced_trace
+
+        scene = self.scene
+        mesh_ids: dict[int, int] = {}
+        meshes = []
+        insts = []
+        for inst in scene.instances:
+            m4 = np.asarray(inst.transform, np.float32)
+            assert np.allclose(m4[3], [0, 0, 0, 1]), \
+                "twolevelp assumes affine instance transforms (w == 1)"
+            key = id(inst.mesh)
+            if key not in mesh_ids:
+                mesh_ids[key] = len(meshes)
+                meshes.append(inst.mesh)
+            insts.append((mesh_ids[key], inst.transform,
+                          inst.bounds_min, inst.bounds_max))
+        kw = {} if self.inst_cap is None else dict(
+            cap_per_inst=self.inst_cap)
+        ih = build_instanced_trace(
+            [(m.v0, m.v1, m.v2) for m in meshes], insts, **kw)
+        self._inst_host = ih
+        meta = ih.trace.meta
+
+        # Object-space arrays in ORIGINAL mesh order, one block per unique
+        # mesh; slot_perm maps mesh-local LEAF slot -> mesh-local original
+        # id (ih.perms), concatenated with the same per-mesh bases.
+        base = np.concatenate(
+            [[0], np.cumsum([m.tri_count for m in meshes])]).astype(np.int64)
+        obj = {f: np.concatenate([getattr(m, f) for m in meshes])
+               for f in ("v0", "v1", "v2", "n0", "n1", "n2")}
+        slot_perm = np.concatenate(ih.perms).astype(np.int32)
+        inst_obj_base = np.asarray(
+            [base[mi] for mi, *_ in insts], np.int32)
+        inst_fwd = np.stack([
+            np.asarray(inst.transform, np.float32)[:3, :4].reshape(12)
+            for inst in scene.instances])
+        self.inst_tri_count = np.asarray(
+            [inst.mesh.tri_count for inst in scene.instances], np.int32)
+
+        bg = scene.background
+        light_inst = np.asarray(scene.light_indices, np.int32)
+        if len(light_inst) == 0:
+            light_inst = np.zeros(1, np.int32)
+        j = jnp.asarray
+        d1 = j(np.zeros((1, 3), np.float32))
+        d1i = j(np.zeros(1, np.int32))
+        d2 = j(np.zeros((1, 2), np.float32))
+        self.render_scene = RenderScene(
+            trace=TraceArrays(
+                tri_v0=d1, tri_v1=d1, tri_v2=d1,
+                node_boxes=j(np.full((1, 6), np.nan, np.float32)),
+                node_meta=j(np.zeros((1, 3), np.int32)),
+                nodes_packed=j(np.zeros((1, 128), np.float32)),
+                tris_packed=j(np.zeros((1, 128), np.float32)),
+                inst_ltab=ih.trace.ltab,
+                inst_box_lo=ih.trace.box_lo,
+                inst_box_hi=ih.trace.box_hi,
+                inst_xf=ih.trace.xf_rows,
+                inst_wlo=ih.trace.inst_lo,
+                inst_whi=ih.trace.inst_hi,
+                inst_inv=j(ih.inv3x4),
+                inst_obj_base=j(inst_obj_base),
+                inst_slot_perm=j(slot_perm),
+            ),
+            tri_inst=d1i, tri_n0=d1, tri_n1=d1, tri_n2=d1,
+            tri_uv0=d2, tri_uv1=d2, tri_uv2=d2, perm=d1i,
+            samp_v0=d1, samp_v1=d1, samp_v2=d1,
+            samp_n0=d1, samp_n1=d1, samp_n2=d1,
+            inst_tri_offset=j(inst_obj_base),
+            inst_tri_count=j(self.inst_tri_count),
+            inst_area=j(np.array(
+                [i.area for i in scene.instances], np.float32)),
+            inst_material=j(self.inst_material),
+            mat_albedo=j(self.materials.albedo),
+            mat_emission_color=j(self.materials.emission_color),
+            mat_absorption=j(self.materials.absorption),
+            mat_emission_strength=j(self.materials.emission_strength),
+            mat_reflectivity=j(self.materials.reflectivity),
+            mat_refractivity=j(self.materials.refractivity),
+            mat_ior=j(self.materials.ior),
+            mat_is_light=j(self.materials.is_light),
+            light_inst=j(light_inst),
+            bg_type=jnp.int32(bg.type),
+            bg_color=j(bg.color),
+            bg_gradient_a=j(bg.gradient_a),
+            bg_gradient_b=j(bg.gradient_b),
+            obj_v0=j(obj["v0"]), obj_v1=j(obj["v1"]), obj_v2=j(obj["v2"]),
+            obj_n0=j(obj["n0"]), obj_n1=j(obj["n1"]), obj_n2=j(obj["n2"]),
+            inst_fwd=j(inst_fwd),
+        )
+        self.static = SceneStatic(
+            stack_depth=8,  # unused by the instanced kernels
+            num_lights=len(scene.light_indices),
+            tri_count=int(len(obj["v0"])),
+            inst_meta=meta,
+        )
         self._seen_version = scene.version
 
     def _cap(self, name: str, n: int, quantum: int = 1024) -> int:
@@ -434,6 +562,19 @@ class HostCompiled:
         changed since the last refresh (Instance.version), then
         refit/rebuild.  On the indoor animation this touches one instance
         instead of all eleven (VERDICT r1 item 3)."""
+        if self.pure:
+            # Pure two-level: the shared object-space BLASes are
+            # animation-invariant; only the O(I) per-instance arrays move
+            # (forward/inverse transforms, world AABBs, areas).
+            self._refresh_instanced_xf()
+            self.render_scene = self.render_scene._replace(
+                inst_fwd=jnp.asarray(np.stack([
+                    np.asarray(i.transform, np.float32)[:3, :4].reshape(12)
+                    for i in self.scene.instances])),
+                inst_area=jnp.asarray(np.array(
+                    [i.area for i in self.scene.instances], np.float32)),
+            )
+            return
         seen = getattr(self, "_inst_versions", None)
         if seen is None:
             seen = [-1] * len(self.scene.instances)

@@ -251,19 +251,27 @@ def _radians(deg):
 def _dispatch_traverse(cfg: RenderConfig, trace, origin, direction, t_max,
                        active, any_hit: bool):
     """Select the Pallas packet kernel (TPU perf path) or the XLA lockstep
-    walk (CPU/tests) — identical semantics, tested against each other."""
-    if cfg.use_pallas and cfg.algo == "twolevel":
+    walk (CPU/tests) — identical semantics, tested against each other.
+
+    Returns (Hit, inst): ``inst`` is the per-lane winning instance id (-1
+    on miss) for algo="twolevelp" — whose hits live in (instance,
+    object-tri) space — and None for every flattened-shading path."""
+    if cfg.use_pallas and cfg.algo in ("twolevel", "twolevelp"):
         # TLAS -> instance -> shared object-space BLAS traversal
-        # (accel/pallas_instanced; reference bvh.cpp:481-513).  The
-        # (inst, mesh-local slot) winner maps through inst_prim_map back
-        # to the flattened leaf slot, so everything downstream (perm,
-        # tri_inst, re-intersection, NEE, gradients) is unchanged.
+        # (accel/pallas_instanced; reference bvh.cpp:481-513).
+        # "twolevel": the (inst, mesh-local slot) winner maps through
+        # inst_prim_map back to the FLATTENED leaf slot, so everything
+        # downstream (perm, tri_inst, re-intersection, NEE, gradients) is
+        # unchanged — but samp memory stays O(sum instance tris).
+        # "twolevelp": the winner maps to the shared OBJECT-space triangle
+        # (inst_obj_base + slot_perm) and shading re-derives world
+        # geometry per lane — O(unique mesh tris) end-to-end.
         from ..accel.pallas_instanced import (InstancedTrace,
                                               traverse_instanced_arrays)
         from ..accel.traverse import Hit
 
         assert cfg.inst_meta is not None, \
-            "algo='twolevel' needs HostCompiled(two_level=True)"
+            "algo='twolevel(p)' needs HostCompiled(two_level=True|'pure')"
         it = InstancedTrace(
             ltab=trace.inst_ltab, box_lo=trace.inst_box_lo,
             box_hi=trace.inst_box_hi, xf_rows=trace.inst_xf,
@@ -274,11 +282,18 @@ def _dispatch_traverse(cfg: RenderConfig, trace, origin, direction, t_max,
             any_hit=any_hit, interpret=cfg.pallas_interpret,
             block_rays=cfg.block_rays)
         found = h.prim >= 0
+        if cfg.algo == "twolevelp":
+            base = jnp.take(trace.inst_obj_base, jnp.maximum(h.inst, 0))
+            g = base + jnp.take(trace.inst_slot_perm,
+                                base + jnp.maximum(h.prim, 0))
+            return (Hit(prim=jnp.where(found, g, -1),
+                        t=h.t, u=h.u, v=h.v),
+                    jnp.where(found, h.inst, -1))
         base = jnp.take(trace.inst_prim_base, jnp.maximum(h.inst, 0))
         leaf_slot = jnp.take(trace.inst_prim_map,
                              base + jnp.maximum(h.prim, 0))
         return Hit(prim=jnp.where(found, leaf_slot, -1),
-                   t=h.t, u=h.u, v=h.v)
+                   t=h.t, u=h.u, v=h.v), None
     if cfg.use_pallas:
         if cfg.use_wide:
             from ..accel.pallas_wide import WideTrace, traverse_wide
@@ -297,15 +312,15 @@ def _dispatch_traverse(cfg: RenderConfig, trace, origin, direction, t_max,
                 any_hit=any_hit, interpret=cfg.pallas_interpret,
                 algo=cfg.algo, block_rays=cfg.block_rays,
                 cap_rows=cfg.cap_rows, pair_groups=cfg.pair_groups,
-            )
+            ), None
         from ..accel.pallas_traverse import traverse_pallas
 
         return traverse_pallas(
             trace, origin, direction, t_max, active,
             any_hit=any_hit, interpret=cfg.pallas_interpret,
-        )
+        ), None
     return traverse(trace, origin, direction, t_max, active,
-                    cfg.stack_depth, any_hit=any_hit)
+                    cfg.stack_depth, any_hit=any_hit), None
 
 
 def _sample_background(scene: RenderScene, direction):
@@ -332,7 +347,7 @@ def bounce_step(scene: RenderScene, cfg: RenderConfig, s: PathState) -> PathStat
     # ---- EXTEND (ray_extend.comp / bvh.cpp traversal), detached ----------
     # The trace arrays are detached too so vertex-perturbed scenes never leak
     # tangents into the traversal while_loop (no transpose rule exists).
-    hit = _dispatch_traverse(
+    hit, hit_inst = _dispatch_traverse(
         cfg,
         jax.tree.map(sg, scene.trace),
         sg(s.origin), sg(s.direction),
@@ -342,14 +357,52 @@ def bounce_step(scene: RenderScene, cfg: RenderConfig, s: PathState) -> PathStat
     )
     prim = hit.prim
     found = prim >= 0
-    slot = jnp.maximum(prim, 0)
-    g = jnp.take(scene.perm, slot)  # original-order triangle id
+    pure = hit_inst is not None  # algo="twolevelp": object-space shading
 
     # Differentiable re-intersection of the chosen triangle (camera/vertex
     # gradients flow here; the traversal only chose *which* triangle).
-    v0 = jnp.take(scene.samp_v0, g, axis=0)
-    v1 = jnp.take(scene.samp_v1, g, axis=0)
-    v2 = jnp.take(scene.samp_v2, g, axis=0)
+    if pure:
+        # World geometry is re-derived per lane from the SHARED object-
+        # space mesh + the winning instance's 12 forward-transform scalars
+        # (bvh.cpp:481-594 instancing end-to-end) — no O(sum instance
+        # tris) samp arrays exist in this mode.
+        g = jnp.maximum(prim, 0)          # object-global original tri id
+        inst = jnp.maximum(hit_inst, 0)
+        A = jnp.take(scene.inst_fwd, inst, axis=0)      # [N,12]
+
+        def xf_point(p):
+            return jnp.stack([
+                A[:, 0] * p[:, 0] + A[:, 1] * p[:, 1]
+                + A[:, 2] * p[:, 2] + A[:, 3],
+                A[:, 4] * p[:, 0] + A[:, 5] * p[:, 1]
+                + A[:, 6] * p[:, 2] + A[:, 7],
+                A[:, 8] * p[:, 0] + A[:, 9] * p[:, 1]
+                + A[:, 10] * p[:, 2] + A[:, 11],
+            ], axis=-1)
+
+        def xf_vector(d_):
+            return jnp.stack([
+                A[:, 0] * d_[:, 0] + A[:, 1] * d_[:, 1] + A[:, 2] * d_[:, 2],
+                A[:, 4] * d_[:, 0] + A[:, 5] * d_[:, 1] + A[:, 6] * d_[:, 2],
+                A[:, 8] * d_[:, 0] + A[:, 9] * d_[:, 1] + A[:, 10] * d_[:, 2],
+            ], axis=-1)
+
+        v0 = xf_point(jnp.take(scene.obj_v0, g, axis=0))
+        v1 = xf_point(jnp.take(scene.obj_v1, g, axis=0))
+        v2 = xf_point(jnp.take(scene.obj_v2, g, axis=0))
+        n0_ = xf_vector(jnp.take(scene.obj_n0, g, axis=0))
+        n1_ = xf_vector(jnp.take(scene.obj_n1, g, axis=0))
+        n2_ = xf_vector(jnp.take(scene.obj_n2, g, axis=0))
+    else:
+        slot = jnp.maximum(prim, 0)
+        g = jnp.take(scene.perm, slot)  # original-order triangle id
+        inst = jnp.take(scene.tri_inst, slot)
+        v0 = jnp.take(scene.samp_v0, g, axis=0)
+        v1 = jnp.take(scene.samp_v1, g, axis=0)
+        v2 = jnp.take(scene.samp_v2, g, axis=0)
+        n0_ = jnp.take(scene.samp_n0, g, axis=0)
+        n1_ = jnp.take(scene.samp_n1, g, axis=0)
+        n2_ = jnp.take(scene.samp_n2, g, axis=0)
     t, u, v = _reintersect(s.origin, s.direction, v0, v1, v2)
 
     miss = s.alive & ~found
@@ -360,7 +413,6 @@ def bounce_step(scene: RenderScene, cfg: RenderConfig, s: PathState) -> PathStat
     )
     alive = s.alive & found
 
-    inst = jnp.take(scene.tri_inst, slot)
     mat = jnp.take(scene.inst_material, inst)
 
     # ---- light hit termination (ray_shade.comp:64-69, renderer.cpp:348-352)
@@ -392,9 +444,9 @@ def bounce_step(scene: RenderScene, cfg: RenderConfig, s: PathState) -> PathStat
     )
     I = s.origin + t[:, None] * s.direction
     N = (
-        u[:, None] * jnp.take(scene.samp_n0, g, axis=0)
-        + v[:, None] * jnp.take(scene.samp_n2, g, axis=0)
-        + (jnp.float32(1.0) - u - v)[:, None] * jnp.take(scene.samp_n1, g, axis=0)
+        u[:, None] * n0_
+        + v[:, None] * n2_
+        + (jnp.float32(1.0) - u - v)[:, None] * n1_
     )
     N = normalize(N)
 
@@ -465,7 +517,8 @@ def bounce_step(scene: RenderScene, cfg: RenderConfig, s: PathState) -> PathStat
 
     if cfg.num_lights > 0:
         seed, energy = _next_event(
-            scene, cfg, seed, m_diff, I, N, brdf, s.transmission, energy
+            scene, cfg, seed, m_diff, I, N, brdf, s.transmission, energy,
+            pure=pure,
         )
 
     # Russian roulette (renderer.cpp:446-454); termination detached.
@@ -548,13 +601,18 @@ def _cross(a, b):
     )
 
 
-def _next_event(scene, cfg, seed, m_diff, I, N, brdf, transmission, energy):
+def _next_event(scene, cfg, seed, m_diff, I, N, brdf, transmission, energy,
+                pure: bool = False):
     """NEE: sample one light instance + surface point, build shadow rays,
     resolve occlusion (ray_shade.comp:125-174 + ray_connect.comp:178-212).
 
     RNG draw order per diffuse lane: light pick, u, v, triangle id — matching
     Scene::sampleLights + Instance::samplePoint (scene.h:53, bvh.cpp:533-552).
-    """
+
+    ``pure`` (algo="twolevelp"): the samp arrays hold OBJECT-space shared
+    meshes (inst_tri_offset == per-instance object base); the sampled point
+    and normal are transformed by the light instance's forward 3x4 per lane
+    — the reference's Instance::samplePoint shape (bvh.cpp:533-552)."""
     sg = jax.lax.stop_gradient
     seed, li_raw = rng.next_u32_masked(seed, m_diff)
     li = (li_raw % jnp.uint32(cfg.num_lights)).astype(jnp.int32)
@@ -569,16 +627,41 @@ def _next_event(scene, cfg, seed, m_diff, I, N, brdf, transmission, energy):
     tri_idx = jnp.take(scene.inst_tri_offset, light_inst) + tri_local
 
     w = jnp.float32(1.0) - su - sv
+    lv0 = scene.obj_v0 if pure else scene.samp_v0
+    lv1 = scene.obj_v1 if pure else scene.samp_v1
+    lv2 = scene.obj_v2 if pure else scene.samp_v2
+    ln0 = scene.obj_n0 if pure else scene.samp_n0
+    ln1 = scene.obj_n1 if pure else scene.samp_n1
+    ln2 = scene.obj_n2 if pure else scene.samp_n2
     p_pos = (
-        su[:, None] * jnp.take(scene.samp_v0, tri_idx, axis=0)
-        + sv[:, None] * jnp.take(scene.samp_v2, tri_idx, axis=0)
-        + w[:, None] * jnp.take(scene.samp_v1, tri_idx, axis=0)
+        su[:, None] * jnp.take(lv0, tri_idx, axis=0)
+        + sv[:, None] * jnp.take(lv2, tri_idx, axis=0)
+        + w[:, None] * jnp.take(lv1, tri_idx, axis=0)
     )
-    p_nrm = normalize(
-        su[:, None] * jnp.take(scene.samp_n0, tri_idx, axis=0)
-        + sv[:, None] * jnp.take(scene.samp_n2, tri_idx, axis=0)
-        + w[:, None] * jnp.take(scene.samp_n1, tri_idx, axis=0)
+    p_raw = (
+        su[:, None] * jnp.take(ln0, tri_idx, axis=0)
+        + sv[:, None] * jnp.take(ln2, tri_idx, axis=0)
+        + w[:, None] * jnp.take(ln1, tri_idx, axis=0)
     )
+    if pure:
+        AL = jnp.take(scene.inst_fwd, light_inst, axis=0)  # [N,12]
+        p_pos = jnp.stack([
+            AL[:, 0] * p_pos[:, 0] + AL[:, 1] * p_pos[:, 1]
+            + AL[:, 2] * p_pos[:, 2] + AL[:, 3],
+            AL[:, 4] * p_pos[:, 0] + AL[:, 5] * p_pos[:, 1]
+            + AL[:, 6] * p_pos[:, 2] + AL[:, 7],
+            AL[:, 8] * p_pos[:, 0] + AL[:, 9] * p_pos[:, 1]
+            + AL[:, 10] * p_pos[:, 2] + AL[:, 11],
+        ], axis=-1)
+        p_raw = jnp.stack([
+            AL[:, 0] * p_raw[:, 0] + AL[:, 1] * p_raw[:, 1]
+            + AL[:, 2] * p_raw[:, 2],
+            AL[:, 4] * p_raw[:, 0] + AL[:, 5] * p_raw[:, 1]
+            + AL[:, 6] * p_raw[:, 2],
+            AL[:, 8] * p_raw[:, 0] + AL[:, 9] * p_raw[:, 1]
+            + AL[:, 10] * p_raw[:, 2],
+        ], axis=-1)
+    p_nrm = normalize(p_raw)
     IL = p_pos - I
     L = normalize(IL)
     SO = I + F32_EPSILON * L
@@ -589,7 +672,7 @@ def _next_event(scene, cfg, seed, m_diff, I, N, brdf, transmission, energy):
     nee_ok = m_diff & (cos_o > 0) & (cos_li > 0)
 
     # CONNECT: any-hit occlusion traversal, detached.
-    occ_hit = _dispatch_traverse(
+    occ_hit, _ = _dispatch_traverse(
         cfg, jax.tree.map(sg, scene.trace), sg(SO), sg(L), sg(sr_depth),
         nee_ok, any_hit=True,
     )

@@ -174,3 +174,116 @@ def test_inactive_rays_masked(setup):
     assert (np.asarray(hit.inst)[~act] == -1).all()
     ref = traverse_instanced_np(host, o[act], d[act], tm[act])
     assert (np.asarray(hit.inst)[act] == ref["inst"]).all()
+
+
+def test_twolevelp_pure_render_matches_flattened():
+    """algo="twolevelp" (round 5): PURE two-level rendering — object-space
+    shared meshes + per-lane instance transforms in shading and NEE, no
+    flattened samp arrays at all (the reference's instancing end-to-end,
+    bvh.cpp:481-594).  Must reproduce the flattened image within the
+    documented float-chaos class (world geometry re-derived per lane in a
+    different op order)."""
+    import jax
+    import jax.numpy as jnp
+
+    from surf_tpu.scene import builtin
+    from surf_tpu.scene.camera import CameraParams
+    from surf_tpu.scene.compile import HostCompiled
+    from surf_tpu.wavefront import RenderConfig
+    from surf_tpu.wavefront.integrator import (initial_seeds,
+                                               render_frame_seeded)
+
+    hp = HostCompiled(builtin.make_diffuse_box_scene(), two_level="pure")
+    hf = HostCompiled(builtin.make_diffuse_box_scene())
+    cp = CameraParams.from_camera(builtin.make_indoor_camera(24, 24))
+    base = RenderConfig.for_scene(
+        hf.static, 24, 24, 1, use_defocus=True, use_pallas=False,
+    )._replace(max_bounces=None, wave_limit=8, compact=True)
+    tlp = RenderConfig.for_scene(
+        hp.static, 24, 24, 1, use_defocus=True, use_pallas=False,
+    )._replace(max_bounces=None, wave_limit=8, compact=True,
+               use_pallas=True, pallas_interpret=True, algo="twolevelp",
+               block_rays=1024)
+    seed = initial_seeds(base, jnp.uint32(0))
+    img_f, _ = render_frame_seeded(
+        jax.device_put(hf.render_scene), base, cp, seed)
+    img_p, _ = render_frame_seeded(
+        jax.device_put(hp.render_scene), tlp, cp, seed)
+    img_f = np.asarray(img_f)
+    img_p = np.asarray(img_p)
+    d = np.abs(img_f - img_p).max(axis=2)
+    assert (d > 1e-3).mean() < 0.01
+    assert abs(img_f.sum() - img_p.sum()) / abs(img_f.sum()) < 0.005
+
+
+def test_twolevelp_memory_is_o_unique_tris():
+    """The pure mode's whole point: device bytes must NOT scale with the
+    instance count (shared meshes + O(I) transforms), while the flattened
+    compile scales linearly (tests/test_scene.py pins that side)."""
+    import jax
+
+    from surf_tpu.scene import builtin
+    from surf_tpu.scene.compile import HostCompiled
+
+    def nbytes(rs):
+        return sum(x.nbytes for x in jax.tree.leaves(rs)
+                   if hasattr(x, "nbytes"))
+
+    sizes = {}
+    for n in (8, 32):
+        h = HostCompiled(
+            builtin.make_instanced_stress_scene(n, mesh_name="cube.obj"),
+            two_level="pure")
+        sizes[n] = nbytes(h.render_scene)
+    # 4x the instances must cost only the O(I) arrays (< 5% growth here),
+    # not 4x the geometry.
+    assert sizes[32] < 1.2 * sizes[8], sizes
+
+
+def test_twolevelp_animation_refresh():
+    """Pure-mode refresh: moving an instance updates the per-instance
+    forward/inverse transforms and world AABBs (no stale-transform
+    traversal — ADVICE r4); the refreshed compile must match a FRESH pure
+    compile of the same scene state exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from surf_tpu.core import transform as tf
+    from surf_tpu.scene import builtin
+    from surf_tpu.scene.camera import CameraParams
+    from surf_tpu.scene.compile import HostCompiled
+    from surf_tpu.wavefront import RenderConfig
+    from surf_tpu.wavefront.integrator import (initial_seeds,
+                                               render_frame_seeded)
+
+    def build():
+        return builtin.make_diffuse_box_scene()
+
+    sc = build()
+    h = HostCompiled(sc, two_level="pure")
+    cp = CameraParams.from_camera(builtin.make_indoor_camera(16, 16))
+    cfg = RenderConfig.for_scene(
+        h.static, 16, 16, 1, use_defocus=True, use_pallas=False,
+    )._replace(max_bounces=None, wave_limit=6, compact=True,
+               use_pallas=True, pallas_interpret=True, algo="twolevelp",
+               block_rays=1024)
+    seed = initial_seeds(cfg, jnp.uint32(0))
+
+    def render(host):
+        img, _ = render_frame_seeded(
+            jax.device_put(host.render_scene), cfg, cp, seed)
+        return np.asarray(img)
+
+    img0 = render(h)
+    # move the middle box and refresh
+    moved = tf.translate(tf.identity(), [0.6, 0.2, 0.0])
+    sc.instances[1].set_transform(moved)
+    h.refresh()
+    img1 = render(h)
+    assert not np.allclose(img0, img1), "moving an instance must change it"
+
+    sc2 = build()
+    sc2.instances[1].set_transform(moved)
+    h2 = HostCompiled(sc2, two_level="pure")
+    img2 = render(h2)
+    assert np.array_equal(img1, img2), "refresh must equal fresh compile"
