@@ -6,7 +6,7 @@ the remote-TPU dispatch latency (~20-25 ms per block_until_ready) rode
 on every small measurement (raygen-only read 23.8 ms — the floor, not
 the op).  v2 uses DIFFS that cancel the floor:
 
-  per-sample cost of a stage = t(spp=2, cfg) - t(spp=1, cfg)
+  per-sample cost of a stage = (t(spp=5, cfg) - t(spp=1, cfg)) / 4
   within-sample structure    = t(wl=k) - t(wl=k-1)  (same dispatch shape)
 
 Stages ablated (256^2, indoor, bench config base):
@@ -94,7 +94,7 @@ def main():
 
     fns = {}
     for name, kw in variants.items():
-        for spp in (1, 2):
+        for spp in (1, 5):
             cfg = base_cfg(spp, **kw)
 
             def frame(total_samples, cfg=cfg):
@@ -131,7 +131,9 @@ def main():
         print(f"  {n:20s} {best[n]:8.2f}")
 
     def d(name):  # tunnel-free per-sample cost of a variant
-        return best[f"{name}@2"] - best[f"{name}@1"]
+        # spp 1 vs 5: the 4-sample diff /4 averages the ~+-5 ms floor
+        # jitter down 4x (1-vs-2 diffs measured negative on small configs)
+        return (best[f"{name}@5"] - best[f"{name}@1"]) / 4.0
 
     a = {}
     a["dispatch_floor(null)"] = best["null"]

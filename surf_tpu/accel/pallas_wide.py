@@ -1395,6 +1395,10 @@ def _leaf_rows_kernel(counts_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
 # near-sweep anyway.  1536 covers typical bounce/shadow unions at 1024-
 # 2048 ray packets on the indoor scene with headroom.
 BITS_CAP_ROWS = 1536
+# Overflow-sweep VMEM chunk: 32768 rows x 512 B = 16 MB per block.  Tables
+# larger than this are swept in leaf-order chunks with the running best
+# carried between chunks (bit-identical; see sweep_all in _bits_leaf_lists).
+SWEEP_CHUNK_ROWS = 32768
 
 # algo="bits2": leaf-order prefix length (rows) round A processes before
 # the t-refresh re-sweep culls the tail candidates.
@@ -1756,7 +1760,7 @@ def _traverse_bits_padded(ltab, box_lo, box_hi, anc,
         ]
         kernel = functools.partial(
             _leaf_rows_kernel,
-            cap8=(E // LEAF_TRIS if kernel_sweep else trip_cap),
+            cap8=(rows.shape[0] // LEAF_TRIS if kernel_sweep else trip_cap),
             sweep=kernel_sweep, halves=H, carry_in=carry is not None,
             use_bf16=use_bf16, use_bw=use_bw, ilp=ilp,
             rows_per_trip=(LEAF_TRIS if kernel_sweep else rows_step),
@@ -1787,7 +1791,29 @@ def _traverse_bits_padded(ltab, box_lo, box_hi, anc,
         return (jnp.where(live, p, 0), 0, 0)
 
     list_spec = pl.BlockSpec((H, cap, LANE), live_map)
-    sweep_spec = pl.BlockSpec((E, LANE), lambda p, s: (0, 0))
+
+    def sweep_all():
+        """Overflow sweep, CHUNKED (VERDICT r4 item 4): the whole-table
+        (E, 128) VMEM block stops fitting at ~1.5-2M stored tris, so the
+        table is sliced into SWEEP_CHUNK_ROWS blocks and the running best
+        threads through the kernel's carry_in path (same mechanism as the
+        bits2 refinement round).  Chunk boundaries preserve leaf order, so
+        the strictly-closer total order — and hence the winner — is
+        bit-identical to the single-block sweep; the single-chunk case
+        keeps the original call shape exactly (incl. the any-hit trim,
+        which the carry path does not compose with)."""
+        if E <= SWEEP_CHUNK_ROWS:
+            spec = pl.BlockSpec((E, LANE), lambda p, s: (0, 0))
+            return call(True, sweep_counts, ltab, spec)
+        res = None
+        for start in range(0, E, SWEEP_CHUNK_ROWS):
+            end = min(start + SWEEP_CHUNK_ROWS, E)
+            chunk = jax.lax.slice_in_dim(ltab, start, end)
+            cnts_c = jnp.where(
+                overflow, (end - start) // LEAF_TRIS, 0).astype(jnp.int32)
+            spec_c = pl.BlockSpec((end - start, LANE), lambda p, s: (0, 0))
+            res = call(True, cnts_c, chunk, spec_c, carry=res)
+        return res
 
     def sel(a, b):  # per-list overflow select: a sweep, b list
         ovf = overflow.reshape(g, H, 1, 1)
@@ -1797,7 +1823,7 @@ def _traverse_bits_padded(ltab, box_lo, box_hi, anc,
 
     if refine_rows <= 0:
         t_l, r_l, u_l, v_l = call(False, list_counts, rows3d, list_spec)
-        t_s, r_s, u_s, v_s = call(True, sweep_counts, ltab, sweep_spec)
+        t_s, r_s, u_s, v_s = sweep_all()
         return (sel(t_s, t_l), sel(r_s, r_l),
                 sel(u_s, u_l), sel(v_s, v_l))
 
@@ -1814,7 +1840,7 @@ def _traverse_bits_padded(ltab, box_lo, box_hi, anc,
     k1_8 = min(-(-refine_rows // LEAF_TRIS), cap8)
     cnts_a = jnp.minimum(list_counts, k1_8)
     A = call(False, cnts_a, rows3d, list_spec)
-    t_s, r_s, u_s, v_s = call(True, sweep_counts, ltab, sweep_spec)
+    t_s, r_s, u_s, v_s = sweep_all()
 
     if any_hit:
         tm2 = jnp.where(A[1].reshape(g, R) >= 0, -_FAR, tmf)
