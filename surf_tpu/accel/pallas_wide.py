@@ -1395,10 +1395,12 @@ def _leaf_rows_kernel(counts_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
 # near-sweep anyway.  1536 covers typical bounce/shadow unions at 1024-
 # 2048 ray packets on the indoor scene with headroom.
 BITS_CAP_ROWS = 1536
-# Overflow-sweep VMEM chunk: 32768 rows x 512 B = 16 MB per block.  Tables
+# Overflow-sweep VMEM chunk: 16384 rows x 512 B = 8 MB per block.  Tables
 # larger than this are swept in leaf-order chunks with the running best
 # carried between chunks (bit-identical; see sweep_all in _bits_leaf_lists).
-SWEEP_CHUNK_ROWS = 32768
+# 32768 (16 MB) measured 44 KB over the 16 MB scoped-vmem limit on v5e once
+# the ray blocks rode on top (stress32 device run, round 5).
+SWEEP_CHUNK_ROWS = 16384
 
 # algo="bits2": leaf-order prefix length (rows) round A processes before
 # the t-refresh re-sweep culls the tail candidates.
