@@ -496,9 +496,21 @@ def bounce_step(scene: RenderScene, cfg: RenderConfig, s: PathState) -> PathStat
     fresnel = r0 + (jnp.float32(1.0) - r0) * (c_ * c_ * c_ * c_ * c_)
     seed, r_fr = rng.next_f32_masked(seed, m_diel & can_refract)
     must_refract = m_diel & can_refract & (r_fr > sg(fresnel))
+    # d(sqrt)/dx = inf at x == 0, and cos_theta2 is EXACTLY 0 on
+    # exactly-grazing lanes (cos_i == 0 with the substituted ior = 1 makes
+    # cos_theta2 = cos_i^2; measured at 128x8 on the box scene).  Under
+    # lax.scan/fori_loop reverse-mode the carry cotangents are
+    # MATERIALIZED zeros (not symbolic), so the masked where no longer
+    # prunes the product and 0 * inf = NaN poisons the camera gradients —
+    # even though the direct (unrolled) backward of the same wave is
+    # finite.  refract_dir is only consumed where must_refract
+    # (cos_theta2 > 0), so flooring the sqrt argument at 1e-12 is
+    # primal-identical outside exactly-critical-angle f32 paths.
     refract_dir = (
         ior_ratio[:, None] * s.direction
-        + (ior_ratio * cos_i - jnp.sqrt(jnp.abs(cos_theta2)))[:, None] * N
+        + (ior_ratio * cos_i
+           - jnp.sqrt(jnp.maximum(jnp.abs(cos_theta2),
+                                  jnp.float32(1e-12))))[:, None] * N
     )
     r_out = jnp.where(
         m_diel[:, None],
@@ -581,6 +593,17 @@ def _reintersect(origin, direction, v0, v1, v2):
     e2 = v2 - v0
     h = _cross(direction, e2)
     a = dot(e1, h)
+    # Miss lanes re-intersect slot 0 with an unrelated ray that can be
+    # exactly parallel to it (a == 0, measured at 128x8 on the box scene):
+    # f = inf makes every downstream partial inf, and the where(found,...)
+    # substitutions only zero the COTANGENT — 0 * inf = NaN still lands in
+    # the camera gradients.  Lanes the traversal reports found have
+    # |a| >= 1e-5 (the kernel/oracle MT epsilon, _mt8 / cpu_renderer.py:63),
+    # so clamping |a| below 1e-12 is primal-identical on every consumed
+    # lane and keeps all partials finite.
+    a = jnp.where(jnp.abs(a) < jnp.float32(1e-12),
+                  jnp.where(a < 0, jnp.float32(-1e-12), jnp.float32(1e-12)),
+                  a)
     f = jnp.float32(1.0) / a
     srel = origin - v0
     u = f * dot(srel, h)
