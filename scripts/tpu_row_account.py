@@ -12,22 +12,23 @@ shape).
 Part A (counts): monkeypatch integrator._dispatch_traverse to ALSO
 compute the phase-1/1.5 exact-row list sizes in plain jnp (the same
 slab-test + hierarchy-AND math as accel/pallas_wide._traverse_bits_padded
-phase 1/1.5a, reusing its _packet_bits) and stream them to the host with
-jax.debug.callback; then run the REAL render_frame_seeded at the bench
-config so ladder, compaction, Morton order, NEE and spp chunking are all
-exactly the production path.  Each traverse call site fires once per
-executed wave; records carry (any_hit, per-packet row counts, live mask).
+phase 1/1.5a, reusing its _packet_bits).  The axon tunnel rejects
+jax.debug.callback (UNIMPLEMENTED host send/recv), so the counts leave
+the device as ARRAYS: the script drives its own lax.scan over 32 waves
+of the production bounce_step (morton lanes, ce4 compaction, plain
+ladder=0 path) and the patched dispatcher's count tracers are stacked
+into per-wave [waves, packets] outputs.  Bit-equivalent ray populations
+to the production plain path; the ladder's frame-level factor is
+measured separately in Part B.
 
 Part B (times): unpatched frame times vs wave_limit at the same shape,
-spp-diffed ((t(spp_hi)-t(spp=1))/(spp_hi-1)) to cancel the ~24 ms tunnel
+ladder6 (bench) AND ladder0 (the counted path), spp-diffed
+((t(spp_hi)-t(spp=1))/(spp_hi-1)) to cancel the ~25-35 ms tunnel
 dispatch floor -> marginal-wave ms that the counted rows must explain.
 
-Output: out_configs/row_account.json with
-  totals: rows / u8-padded rows / trips / live packets / calls, split
-          extend vs connect (any_hit), per spp-sample
-  sites:  per-(tag, packets-in-call) aggregates (the ladder rungs show
-          up as distinct packet counts)
-  times:  wl -> per-sample ms
+Output: out_configs/row_account.json with per-wave extend/connect row
+sums, alive-lane counts, live packets, and wl->per-sample ms for both
+ladder settings.
 
 Run: timeout 5400 python -u scripts/tpu_row_account.py --size=512
 Smoke (CPU): python -u scripts/tpu_row_account.py --cpu --size=32 \
@@ -43,8 +44,6 @@ import numpy as np
 
 warnings.filterwarnings("ignore")
 sys.path.insert(0, ".")
-
-RECORDS = []
 
 
 def main():
@@ -137,90 +136,143 @@ def main():
         live = (tmf > -PW._FAR).any(axis=1)
         return counts, live
 
-    def record(tag, counts, live):
-        RECORDS.append((int(tag), np.asarray(counts).copy(),
-                        np.asarray(live).copy()))
+    from surf_tpu.wavefront.integrator import (PathState, bounce_step,
+                                               compact_paths,
+                                               lane_pixel_perm,
+                                               ray_generation,
+                                               view_plane_jnp)
 
     orig_dispatch = I._dispatch_traverse
-    ltab_rows = []
+    COLLECT = []  # (tag, counts-tracer, live-tracer) during trace
 
     def patched(cfg, trace, origin, direction, t_max, active, any_hit):
-        if not ltab_rows:
-            ltab_rows.append(int(trace.wide_ltab.shape[0]))
         counts, live = row_stats(
             trace.wide_box_lo, trace.wide_box_hi,
             int(trace.wide_anc.shape[0]),
             origin, direction, t_max, active, cfg.block_rays)
-        jax.debug.callback(record, jnp.int32(1 if any_hit else 0),
-                           counts, live)
+        COLLECT.append((1 if any_hit else 0, counts, live))
         return orig_dispatch(cfg, trace, origin, direction, t_max, active,
                              any_hit)
 
-    cfg_cnt = bench_cfg(args.spp, algo="bitsru8" if not args.cpu else "bits")
+    # Plain path (ladder=0): same lanes/compaction/morton as production;
+    # the ladder only changes dispatch widths, measured in Part B.
+    cfg_cnt = bench_cfg(1, algo="bitsru8" if not args.cpu else "bits",
+                        ladder=0)
+    WAVES = 32
+    vp = view_plane_jnp(cp, W, H)
+    n = W * H
+    perm = lane_pixel_perm(cfg_cnt)
+    lane_pixel = (jnp.arange(n, dtype=jnp.uint32) if perm is None
+                  else perm.astype(jnp.uint32))
+    px = (lane_pixel % jnp.uint32(W)).astype(jnp.int32)
+    py = (lane_pixel // jnp.uint32(W)).astype(jnp.int32)
+
+    def count_sample(seed_pix):
+        seed_lane = seed_pix if perm is None else jnp.take(seed_pix, perm)
+        seed, origin, direction = ray_generation(cfg_cnt, vp, seed_lane,
+                                                 px, py)
+        st = PathState(
+            origin=origin, direction=direction, seed=seed,
+            transmission=jnp.ones((n, 3), jnp.float32),
+            energy=jnp.zeros((n, 3), jnp.float32),
+            last_specular=jnp.ones(n, bool),
+            in_medium=jnp.zeros(n, bool), alive=jnp.ones(n, bool),
+            pixel=(jnp.arange(n, dtype=jnp.int32) if perm is None
+                   else perm))
+
+        def wave(st, i):
+            if cfg_cnt.compact:
+                st = jax.lax.cond(i % cfg_cnt.compact_every == 0,
+                                  compact_paths, lambda x: x, st)
+            alive = jnp.sum(st.alive.astype(jnp.int32))
+            COLLECT.clear()
+            st2 = bounce_step(scene, cfg_cnt, st)
+            ext = [c for t, c, _ in COLLECT if t == 0][0]
+            liv = [lv for t, _, lv in COLLECT if t == 0][0]
+            con = [c for t, c, _ in COLLECT if t == 1]
+            con = con[0] if con else jnp.zeros_like(ext)
+            return st2, (ext, con, liv, alive)
+
+        st, (ext, con, liv, alive) = jax.lax.scan(
+            wave, st, jnp.arange(WAVES))
+        # seeds back to pixel order for chaining the next sample
+        if cfg_cnt.compact or perm is not None:
+            n_ = st.pixel.shape[0]
+            order = jnp.zeros(n_, jnp.int32).at[st.pixel].set(
+                jnp.arange(n_, dtype=jnp.int32), unique_indices=True)
+            seed_out = jnp.take(st.seed, order)
+        else:
+            seed_out = st.seed
+        return ext, con, liv, alive, seed_out
+
     I._dispatch_traverse = patched
-    try:
-        seed = I.initial_seeds(cfg_cnt, jnp.uint32(0))
-        t0 = time.perf_counter()
-        img, _ = I.render_frame_seeded(scene, cfg_cnt, cp, seed)
-        jax.block_until_ready(img)
-        print(f"counting frame done in {time.perf_counter()-t0:.1f}s "
-              f"({len(RECORDS)} traverse executions)", flush=True)
-    finally:
-        I._dispatch_traverse = orig_dispatch
+    count_jit = jax.jit(count_sample)
+    seed = I.initial_seeds(cfg_cnt, jnp.uint32(0))
+    ext_all, con_all, liv_all, alive_all = [], [], [], []
+    t0 = time.perf_counter()
+    for s_i in range(args.spp):
+        ext, con, liv, alive, seed = count_jit(seed)
+        ext_all.append(np.asarray(ext))        # [waves, packets]
+        con_all.append(np.asarray(con))
+        liv_all.append(np.asarray(liv))
+        alive_all.append(np.asarray(alive))
+    I._dispatch_traverse = orig_dispatch
+    print(f"counting pass done in {time.perf_counter()-t0:.1f}s", flush=True)
 
     UN = 8  # bitsru8 unroll: trips = ceil(rows/8), padded rows = 8*trips
-    cap = min(PW.BITS_CAP_ROWS, ltab_rows[0])
-    totals = {}
-    sites = {}
-    for tag, counts, live in RECORDS:
-        rows = int(counts.sum())
-        trips = int(np.ceil(counts / UN).sum())
-        over = int((counts > cap).sum())
-        key = "connect" if tag else "extend"
-        t = totals.setdefault(key, dict(calls=0, rows=0, rows_u8=0,
-                                        trips=0, packets=0,
-                                        live_packets=0, overflow=0))
-        t["calls"] += 1
-        t["rows"] += rows
-        t["rows_u8"] += trips * UN
-        t["trips"] += trips
-        t["packets"] += len(counts)
-        t["live_packets"] += int(live.sum())
-        t["overflow"] += over
-        sk = f"{key}@g{len(counts)}"
-        s = sites.setdefault(sk, dict(calls=0, rows=0, live_packets=0))
-        s["calls"] += 1
-        s["rows"] += rows
-        s["live_packets"] += int(live.sum())
+    ext = np.stack(ext_all)                    # [spp, waves, packets]
+    con = np.stack(con_all)
+    liv = np.stack(liv_all)
+    alive = np.stack(alive_all)                # [spp, waves]
+    cap = PW.BITS_CAP_ROWS
 
-    print("\n-- per-sample row totals --")
+    def agg(c):
+        return dict(
+            rows=int(c.sum()),
+            rows_u8=int((np.ceil(c / UN) * UN).sum()),
+            trips=int(np.ceil(c / UN).sum()),
+            overflow=int((c > cap).sum()),
+            per_wave_rows=[int(x) for x in c.sum(axis=(0, 2)) / args.spp],
+        )
+
+    totals = {"extend": agg(ext), "connect": agg(con)}
+    print("\n-- per-sample row totals (plain path, ladder=0) --")
     for k, t in totals.items():
-        print(f"  {k}: calls {t['calls']/args.spp:.0f} "
-              f"rows {t['rows']/args.spp:.0f} "
+        print(f"  {k}: rows {t['rows']/args.spp:.0f} "
               f"u8rows {t['rows_u8']/args.spp:.0f} "
-              f"trips {t['trips']/args.spp:.0f} "
-              f"live_packets {t['live_packets']/args.spp:.0f} "
-              f"overflow {t['overflow']}", flush=True)
+              f"trips {t['trips']/args.spp:.0f} overflow {t['overflow']}",
+              flush=True)
+    print("  per-wave extend rows:", totals["extend"]["per_wave_rows"])
+    print("  per-wave connect rows:", totals["connect"]["per_wave_rows"])
+    print("  per-wave alive lanes:",
+          [int(x) for x in alive.mean(axis=0)], flush=True)
 
     out = {"shape": f"{W}x{H}", "spp": args.spp, "cap_rows": cap,
-           "totals": totals, "sites": sites}
+           "waves": WAVES, "packets": int(ext.shape[2]),
+           "totals": totals,
+           "per_wave_alive": [float(x) for x in alive.mean(axis=0)],
+           "per_wave_live_packets": [float(x) for x in
+                                     liv.sum(axis=2).mean(axis=0)]}
 
     # ---- Part B: wave-marginal times (unpatched) -------------------------
     if not args.skip_times:
         from surf_tpu.wavefront.integrator import (initial_seeds,
                                                    render_frame_seeded)
-        WLS = (0, 1, 2, 4, 8, 32)
+        # ladder0 curve = the counted (plain) path; ladder6 wl32 = bench.
+        VARIANTS = ([("lad0", dict(ladder=0, wave_limit=wl))
+                     for wl in (1, 2, 4, 8, 32)]
+                    + [("lad6", dict(wave_limit=32))])
         SPPS = (1, 3)
         fns = {}
-        for wl in WLS:
+        for lname, kw in VARIANTS:
             for spp in SPPS:
-                cfg = bench_cfg(spp, wave_limit=wl)
+                cfg = bench_cfg(spp, **kw)
 
                 def frame(ts, cfg=cfg):
                     sd = initial_seeds(cfg, ts)
                     im, _ = render_frame_seeded(scene, cfg, cp, sd)
                     return im
-                fns[f"wl{wl}@{spp}"] = frame
+                fns[f"{lname}_wl{kw['wave_limit']}@{spp}"] = frame
         for name, fn in fns.items():
             t0 = time.perf_counter()
             jax.block_until_ready(fn(jnp.uint32(0)))
@@ -234,11 +286,13 @@ def main():
                 times[name].append(time.perf_counter() - t0)
         best = {n: min(ts) * 1e3 for n, ts in times.items()}
         per_sample = {
-            f"wl{wl}": (best[f"wl{wl}@3"] - best[f"wl{wl}@1"]) / 2.0
-            for wl in WLS}
-        print("\n-- per-sample ms by wave_limit (spp-diffed) --")
+            f"{ln}_wl{kw['wave_limit']}":
+            (best[f"{ln}_wl{kw['wave_limit']}@3"]
+             - best[f"{ln}_wl{kw['wave_limit']}@1"]) / 2.0
+            for ln, kw in VARIANTS}
+        print("\n-- per-sample ms by variant (spp-diffed) --")
         for k, v in per_sample.items():
-            print(f"  {k:6s} {v:9.2f}")
+            print(f"  {k:12s} {v:9.2f}")
         out["times_raw_ms"] = best
         out["per_sample_ms"] = per_sample
 
