@@ -39,6 +39,7 @@ differently)."""
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import NamedTuple
 
 import jax
@@ -54,6 +55,7 @@ from .pallas_wide import _EPS, _ray_box_bits
 _FAR = np.float32(1e30)
 BLOCK = 2048
 CAP_PER_INST = 512  # candidate rows per (packet, instance); overflow -> sweep
+MAX_CAP_TOTAL = 12288  # sum-of-caps VMEM budget (rows; 1 KB/row double-buffered)
 
 
 class InstancedMeta(NamedTuple):
@@ -163,6 +165,25 @@ def build_instanced_trace(meshes, instances,
         ihi.append(np.asarray(whi, np.float32))
         cap = min(-(-n_rows[mi] // 8) * 8, cap_per_inst)
         caps.append(int(cap))
+    # The phase-2 list kernel's row block is (1, sum(caps), 128) f32,
+    # double-buffered by Mosaic: sum(caps) x 1 KB of scoped VMEM against
+    # the v5e 16 MB limit (measured overflow at sum(caps)=16416, 32
+    # instances x cap 512).  Scale per-instance caps down proportionally
+    # to stay under budget — overflowing packets just ride the cond-gated
+    # chunked sweep more often (exactness unchanged).
+    if sum(caps) > MAX_CAP_TOTAL:
+        if len(caps) * 8 > MAX_CAP_TOTAL:
+            raise ValueError(
+                f"{len(caps)} instances x minimum 8-row lists exceed the "
+                f"{MAX_CAP_TOTAL}-row VMEM budget of the per-(packet,"
+                "instance) list kernel; render fewer instances per scene "
+                "or use the flattened path")
+        scale = MAX_CAP_TOTAL / sum(caps)
+        caps = [max(8, int(c * scale) // 8 * 8) for c in caps]
+        warnings.warn(
+            f"instanced list caps scaled to {caps[0]} rows/instance "
+            f"(sum {sum(caps)}) to fit the 16 MB scoped-VMEM budget; "
+            "overflow packets fall back to the chunked sweep")
     inv3x4 = np.stack(inv3x4)
     xf_rows = np.zeros((len(instances), LANE), np.float32)
     xf_rows[:, :12] = inv3x4

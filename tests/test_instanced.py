@@ -287,3 +287,32 @@ def test_twolevelp_animation_refresh():
     h2 = HostCompiled(sc2, two_level="pure")
     img2 = render(h2)
     assert np.array_equal(img1, img2), "refresh must equal fresh compile"
+
+
+def test_cap_total_vmem_budget():
+    """Sum-of-caps auto-clamp (round 5): the phase-2 list block is
+    sum(caps) KB of double-buffered scoped VMEM and overflowed the v5e
+    16 MB limit at 32 x cap-512 (stress n=32 on device).  Many-instance
+    builds must scale caps down (multiples of 8, sum <= MAX_CAP_TOTAL);
+    absurd instance counts fail loudly."""
+    from surf_tpu.accel.pallas_instanced import MAX_CAP_TOTAL
+
+    cube = make_cube()
+    # A mesh with enough leaf rows that cap_per_inst=512 binds: tile the
+    # cube 600x (4.3k rows); instance it 40x so raw sum(caps) > budget.
+    reps = 600
+    off = np.arange(reps, dtype=np.float32)[:, None] * 3.0
+    v0 = np.concatenate([cube.v0 + off[i] for i in range(reps)])
+    v1 = np.concatenate([cube.v1 + off[i] for i in range(reps)])
+    v2 = np.concatenate([cube.v2 + off[i] for i in range(reps)])
+    insts = [(0, tf.translate(tf.identity(), [0.0, 4.0 * i, 0.0]),
+              None, None) for i in range(40)]
+    with pytest.warns(UserWarning, match="scoped-VMEM budget"):
+        host = build_instanced_trace([(v0, v1, v2)], insts)
+    caps = host.trace.meta.caps
+    assert sum(caps) <= MAX_CAP_TOTAL
+    assert all(c % 8 == 0 and c >= 8 for c in caps)
+
+    tiny = [(0, tf.identity(), None, None)] * (MAX_CAP_TOTAL // 8 + 1)
+    with pytest.raises(ValueError, match="VMEM budget"):
+        build_instanced_trace([(cube.v0, cube.v1, cube.v2)], tiny)
