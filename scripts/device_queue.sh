@@ -81,8 +81,8 @@ run_job() {
 }
 
 # ---- job list (edit per session) -------------------------------------
-run_job fixedprof5 3600 python -u scripts/tpu_fixed_profile.py
+# fixedprof5 done (out_configs/fixed_profile.json)
 run_job rowacct512 5400 python -u scripts/tpu_row_account.py --size=512
 run_job twolevelp_ab 5400 python -u scripts/tpu_twolevelp_ab.py
-run_job bench 3600 python -u bench.py
+# bench done (493.9k rays/s, unchanged)
 echo "=== $(date +%T) queue done"
