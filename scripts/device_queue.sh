@@ -81,8 +81,8 @@ run_job() {
 }
 
 # ---- job list (edit per session) -------------------------------------
-# fixedprof5 done (out_configs/fixed_profile.json)
-run_job rowacct512 5400 python -u scripts/tpu_row_account.py --size=512
+# fixedprof5, rowacct512 done
+run_job blocksweep 4500 python -u scripts/tpu_block_sweep.py
 run_job twolevelp_ab 5400 python -u scripts/tpu_twolevelp_ab.py
 # bench done (493.9k rays/s, unchanged)
 echo "=== $(date +%T) queue done"

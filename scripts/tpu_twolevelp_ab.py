@@ -68,7 +68,11 @@ def main():
         for r in range(rounds):
             t0 = time.perf_counter()
             img = jax.block_until_ready(frame(jnp.uint32((r + 1) * SPP)))
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            best = min(best, dt)
+            # heartbeat: keeps the queue watchdog's log-staleness check
+            # happy through multi-minute frames (504k-tri flat rounds)
+            print(f"    round {r}: {dt*1e3:.0f} ms", flush=True)
         return np.asarray(img), best * 1e3
 
     out = {}
@@ -91,7 +95,7 @@ def main():
     # stored tris the exact-row-list bf16 id encoding bound (16384 rows)
     # trips — itself a structural point: the flattened fast path stops at
     # ~131k tris while twolevelp keeps per-MESH rows small forever.
-    img_f, t_f = bench(hf, cam, "bits")
+    img_f, t_f = bench(hf, cam, "bits", rounds=2)
     del hf
     img_p, t_p = bench(hp, cam, "twolevelp")
     d = np.abs(img_f - img_p).max(axis=2)
