@@ -71,6 +71,13 @@ def run_bench(width, height, spp, max_bounces, use_pallas, frames=3,
         # 256^2@4spp: 557 -> 550 ms; union-row study: primary -16%,
         # bounce -12%, shadow -24%).
         pixel_order="morton" if use_pallas else "native",
+        # Round-5: compaction costs ~37 ms per full-width compact at 512^2
+        # (wave_overhead.json); under the ladder the rung transitions
+        # already stable-compact, so the in-loop cadence relaxes to 16
+        # (538.8 -> 525.3 ms/sample at 512^2, bit-identical energies,
+        # out_configs/compact_cadence.json).  lad0 still wants ce<=8 —
+        # compaction pays for itself via packet liveness there.
+        compact_every=16 if use_pallas else 4,
     )
 
     def frame(total_samples):
